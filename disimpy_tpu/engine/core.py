@@ -1,0 +1,111 @@
+"""The scan-over-time simulation core.
+
+One compiled XLA program advances the whole ensemble through a window of
+time steps with ``lax.scan``: the carry is (positions, phases, iter_exc),
+the scanned inputs are the per-step phase-coefficient vectors. This replaces
+the reference's n_t separate kernel launches with per-step host
+synchronization (disimpy/simulations.py:1198-1216) — the single biggest
+structural difference between the CUDA design and the TPU design.
+
+Phase accrual is the MR physics: after step t each spin gains
+``phi += GAMMA * dt * g(t) . r(t)`` (reference simulations.py:692-701). With
+positions in step-length units and ``g_eff = GAMMA * dt * step_l * g``, the
+per-step update is the matrix product ``phases += g_eff[t] @ positions.T``,
+an (n_meas, 3) x (3, n_spins) contraction that XLA fuses into the scan body.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import rng
+from .stepping import STEP_FUNCTIONS
+
+
+@partial(jax.jit, static_argnames=("kind", "collect_positions"))
+def run_window(
+    kind,
+    spec,
+    positions,
+    phases,
+    iter_exc,
+    g_eff,
+    ts,
+    key,
+    epsilon,
+    max_iter,
+    collect_positions=False,
+):
+    """Advance the ensemble through the time steps ``ts``.
+
+    Parameters
+    ----------
+    kind : str
+        Substrate kind ("free", "sphere", "cylinder", "ellipsoid", "mesh");
+        static.
+    spec : engine.specs pytree
+        Substrate geometry in step-length units.
+    positions : jnp.ndarray
+        (n_spins, 3) positions in step-length units (substrate frame).
+    phases : jnp.ndarray
+        (n_meas, n_spins) accumulated phases (rad).
+    iter_exc : jnp.ndarray
+        (n_spins,) bool: spins that have exceeded the collision-iteration
+        budget so far.
+    g_eff : jnp.ndarray
+        (len(ts), n_meas, 3) per-step phase coefficients
+        ``GAMMA * dt * step_l * g``.
+    ts : jnp.ndarray
+        (len(ts),) absolute time-step indices (used to derive per-step RNG
+        keys, so windowed execution reproduces a single full scan).
+    key : jax.random key
+        Base key for the whole simulation.
+    epsilon : jnp.ndarray
+        Scalar surface offset after collisions (step-length units).
+    max_iter : jnp.ndarray
+        Scalar collision-iteration budget.
+    collect_positions : bool
+        If True, also return the positions after every step of the window
+        (for trajectory output).
+
+    Returns
+    -------
+    (positions, phases, iter_exc), trajectory
+        Updated state; ``trajectory`` is (len(ts), n_spins, 3) when
+        ``collect_positions`` else None.
+    """
+    step_fn = STEP_FUNCTIONS[kind]
+
+    def body(carry, xs):
+        positions, phases, iter_exc = carry
+        t, g_t = xs
+        step_k = rng.step_key(key, t)
+        positions, exc_t = step_fn(positions, step_k, spec, epsilon, max_iter)
+        phases = phases + lax.dot(
+            g_t.astype(positions.dtype),
+            positions.T,
+            preferred_element_type=phases.dtype,
+        )
+        iter_exc = iter_exc | exc_t
+        out = positions if collect_positions else None
+        return (positions, phases, iter_exc), out
+
+    carry, trajectory = lax.scan(body, (positions, phases, iter_exc), (ts, g_eff))
+    return carry, trajectory
+
+
+@jax.jit
+def reduce_signal(phases, iter_exc):
+    """Total signal per measurement: ``Re sum_spins exp(i phi)``, excluding
+    iteration-budget-exceeded spins (reference simulations.py:1413-1421)."""
+    cos = jnp.cos(phases)
+    return jnp.sum(jnp.where(iter_exc[None, :], 0.0, cos), axis=1)
+
+
+@jax.jit
+def per_spin_signal(phases, iter_exc):
+    """Per-spin signals ``Re exp(i phi)`` with NaN for excluded spins."""
+    cos = jnp.cos(phases)
+    return jnp.where(iter_exc[None, :], jnp.nan, cos)

@@ -1,0 +1,107 @@
+"""Substrate pytrees consumed by the stepping engine.
+
+The engine works in *step-length units*: all geometry is rescaled by
+``1 / step_l`` at setup so a time step always has length 1. This keeps every
+coordinate O(1)-O(100) regardless of whether the substrate is micrometres or
+metres across, which is what makes float32 (the TPU-native precision) viable
+for the geometry while staying inside the reference's signal tolerances.
+
+Array fields are pytree data (traced); shape-determining fields (subvoxel
+counts, traversal spans, chunk sizes) are pytree metadata, i.e. static under
+``jax.jit`` — recompilation happens per grid configuration, not per radius.
+"""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _register(cls, data_fields, meta_fields):
+    return partial(
+        jax.tree_util.register_dataclass,
+        data_fields=data_fields,
+        meta_fields=meta_fields,
+    )(cls)
+
+
+@partial(_register, data_fields=[], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class FreeSpec:
+    """Free diffusion: no geometry."""
+
+
+@partial(_register, data_fields=["radius"], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class SphereSpec:
+    """Sphere of ``radius`` (step-length units), centred at the origin."""
+
+    radius: jnp.ndarray
+
+
+@partial(_register, data_fields=["radius"], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class CylinderSpec:
+    """Infinite cylinder along +x of ``radius`` (step-length units).
+
+    The engine simulates in the cylinder frame; the driver rotates the
+    waveform into this frame and the trajectories back out, so no per-step
+    frame rotations are needed (unlike the reference, which rotates every
+    spin into and out of the cylinder frame every step,
+    disimpy/simulations.py:784-803).
+    """
+
+    radius: jnp.ndarray
+
+
+@partial(_register, data_fields=["semiaxes"], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class EllipsoidSpec:
+    """Axis-aligned ellipsoid with ``semiaxes`` (3,), in the ellipsoid frame."""
+
+    semiaxes: jnp.ndarray
+
+
+@partial(
+    _register,
+    data_fields=["tri", "sv_tris", "voxel_size", "sv_width", "perm_prob"],
+    meta_fields=["n_sv", "spans", "chunk"],
+)
+@dataclasses.dataclass(frozen=True)
+class MeshSpec:
+    """Triangle mesh plus its packed uniform-grid acceleration structure.
+
+    Attributes
+    ----------
+    tri : jnp.ndarray
+        (n_tris, 3, 3) triangle corner coordinates (step-length units),
+        pre-gathered from vertices/faces so the hot path needs a single
+        indexed load per candidate triangle.
+    sv_tris : jnp.ndarray
+        (n_subvoxels, n_chunks, chunk) int32. Triangle indices per subvoxel,
+        padded with -1 to the rectangular chunked layout; subvoxel (x, y, z)
+        is row ``x * n_sv[1] * n_sv[2] + y * n_sv[2] + z``.
+    voxel_size : jnp.ndarray
+        (3,) voxel extent (step-length units); the periodic tile.
+    sv_width : jnp.ndarray
+        (3,) subvoxel width per axis.
+    perm_prob : jnp.ndarray
+        Scalar probability of passing through a triangle on collision.
+    n_sv : tuple[int, int, int]
+        Static subvoxel counts.
+    spans : tuple[int, int, int]
+        Static per-axis maximum number of subvoxels a unit step segment can
+        overlap; the traversal enumerates the ``prod(spans)`` offsets.
+    chunk : int
+        Static number of candidate triangles processed per inner iteration.
+    """
+
+    tri: jnp.ndarray
+    sv_tris: jnp.ndarray
+    voxel_size: jnp.ndarray
+    sv_width: jnp.ndarray
+    perm_prob: jnp.ndarray
+    n_sv: tuple
+    spans: tuple
+    chunk: int

@@ -1,0 +1,169 @@
+"""One-time-step position updates per substrate kind.
+
+Each ``step_*`` function advances the whole spin ensemble by one time step of
+unit length (the engine works in step-length units): draw an isotropic unit
+direction per spin, resolve surface collisions, return new positions plus a
+per-spin flag for spins that exhausted the collision-iteration budget.
+
+The reference resolves collisions with a per-thread ``while`` loop
+(disimpy/simulations.py:705-1013). Here the loop is a *batched*
+``lax.while_loop``: the body updates every spin with masked selects and the
+loop runs until no spin is still colliding — so the trip count is the
+ensemble's maximum bounce count (typically 0-3), not the per-spin worst case
+padded to a fixed unroll.
+
+``iter_exc`` semantics match the reference exactly (simulations.py:742-743,
+:999-1000): a spin is flagged when it has entered the collision check
+``max_iter`` times, and flagged spins are excluded from the signal by the
+driver.
+"""
+
+import jax.numpy as jnp
+from jax import lax
+
+from . import geometry, mesh_accel, rng
+from .specs import CylinderSpec, EllipsoidSpec, FreeSpec, MeshSpec, SphereSpec
+
+
+def step_free(positions, key, spec: FreeSpec, epsilon, max_iter):
+    """Free diffusion: unit step, no collisions (reference :682-702)."""
+    direction = rng.random_unit_steps(key, positions.shape[0], positions.dtype)
+    exc = jnp.zeros(positions.shape[0], dtype=bool)
+    return positions + direction, exc
+
+
+def _bounce_analytic(positions, key, epsilon, max_iter, distance_and_normal):
+    """Shared masked bounce loop for the analytic substrates.
+
+    ``distance_and_normal(r0, direction) -> (d, normal)`` returns the
+    distance to the surface along the direction and the inward surface
+    normal at the hit point.
+    """
+    n = positions.shape[0]
+    dtype = positions.dtype
+    direction = rng.random_unit_steps(key, n, dtype)
+    rem = jnp.ones(n, dtype=dtype)
+    iters = jnp.zeros(n, dtype=jnp.int32)
+    active = jnp.ones(n, dtype=bool)
+
+    def cond(state):
+        return jnp.any(state[4])
+
+    def body(state):
+        r0, direction, rem, iters, active = state
+        iters = iters + active
+        d, normal = distance_and_normal(r0, direction)
+        hit = active & (d > 0) & (d < rem)
+        new_r0, new_dir = geometry.reflect(r0, direction, d, normal, epsilon)
+        hit3 = hit[:, None]
+        r0 = jnp.where(hit3, new_r0, r0)
+        direction = jnp.where(hit3, new_dir, direction)
+        rem = jnp.where(hit, rem - (d + epsilon), rem)
+        active = hit & (rem > 0) & (iters < max_iter)
+        return (r0, direction, rem, iters, active)
+
+    state = (positions, direction, rem, iters, active)
+    r0, direction, rem, iters, _ = lax.while_loop(cond, body, state)
+    exc = iters >= max_iter
+    return r0 + direction * rem[:, None], exc
+
+
+def step_sphere(positions, key, spec: SphereSpec, epsilon, max_iter):
+    """Diffusion inside a sphere (reference :705-756)."""
+
+    def distance_and_normal(r0, direction):
+        d = geometry.line_sphere_intersection(r0, direction, spec.radius)
+        normal = geometry.normalize(-(r0 + d[:, None] * direction))
+        return d, normal
+
+    return _bounce_analytic(positions, key, epsilon, max_iter, distance_and_normal)
+
+
+def step_cylinder(positions, key, spec: CylinderSpec, epsilon, max_iter):
+    """Diffusion inside an infinite cylinder along +x (reference :759-816).
+
+    Runs in the cylinder frame (the driver rotates the waveform / outputs),
+    so the collision test is a 2D circle test on the y/z components.
+    """
+
+    def distance_and_normal(r0, direction):
+        d = geometry.line_circle_intersection(
+            r0[:, 1:3], direction[:, 1:3], spec.radius
+        )
+        hit_yz = -(r0[:, 1:3] + d[:, None] * direction[:, 1:3])
+        normal = jnp.concatenate(
+            (jnp.zeros_like(d)[:, None], hit_yz), axis=1
+        )
+        return d, geometry.normalize(normal)
+
+    return _bounce_analytic(positions, key, epsilon, max_iter, distance_and_normal)
+
+
+def step_ellipsoid(positions, key, spec: EllipsoidSpec, epsilon, max_iter):
+    """Diffusion inside an axis-aligned ellipsoid (reference :819-875).
+
+    Runs in the ellipsoid frame (the driver rotates the waveform / outputs).
+    """
+
+    def distance_and_normal(r0, direction):
+        d = geometry.line_ellipsoid_intersection(r0, direction, spec.semiaxes)
+        normal = -(r0 + d[:, None] * direction) / (spec.semiaxes**2)
+        return d, geometry.normalize(normal)
+
+    return _bounce_analytic(positions, key, epsilon, max_iter, distance_and_normal)
+
+
+def step_mesh(positions, key, spec: MeshSpec, epsilon, max_iter):
+    """Diffusion restricted by a triangle mesh (reference :878-1013).
+
+    Per bounce: query the acceleration grid for the closest forward
+    triangle hit within the remaining segment, then either reflect off it or
+    (with probability ``perm_prob``) cross it. The crossing decision uses a
+    strict ``u < perm_prob`` so that ``perm_prob = 0`` is exactly
+    impermeable for every possible uniform draw.
+    """
+    n = positions.shape[0]
+    dtype = positions.dtype
+    direction = rng.random_unit_steps(rng.bounce_key(key, 0), n, dtype)
+    rem = jnp.ones(n, dtype=dtype)
+    iters = jnp.zeros(n, dtype=jnp.int32)
+    active = jnp.ones(n, dtype=bool)
+    bounce_idx = jnp.zeros((), dtype=jnp.int32)
+
+    def cond(state):
+        return jnp.any(state[4])
+
+    def body(state):
+        r0, direction, rem, iters, active, bounce_idx = state
+        iters = iters + active
+        d, tri_idx = mesh_accel.nearest_hit(spec, r0, direction, rem)
+        hit = active & (d <= rem)
+        u = rng.uniforms(rng.bounce_key(key, bounce_idx + 1), n, dtype)
+        go_through = u < spec.perm_prob
+        triangle = spec.tri[tri_idx]
+        normal = geometry.triangle_normals(triangle)
+        refl_r0, refl_dir = geometry.reflect(r0, direction, d, normal, epsilon)
+        cross_r0 = geometry.crossing(r0, direction, d, normal, epsilon)
+        reflected = hit & ~go_through
+        crossed = hit & go_through
+        r0 = jnp.where(
+            reflected[:, None], refl_r0, jnp.where(crossed[:, None], cross_r0, r0)
+        )
+        direction = jnp.where(reflected[:, None], refl_dir, direction)
+        rem = jnp.where(hit, rem - d, rem)
+        active = hit & (rem > 0) & (iters < max_iter)
+        return (r0, direction, rem, iters, active, bounce_idx + 1)
+
+    state = (positions, direction, rem, iters, active, bounce_idx)
+    r0, direction, rem, iters, _, _ = lax.while_loop(cond, body, state)
+    exc = iters >= max_iter
+    return r0 + direction * rem[:, None], exc
+
+
+STEP_FUNCTIONS = {
+    "free": step_free,
+    "sphere": step_sphere,
+    "cylinder": step_cylinder,
+    "ellipsoid": step_ellipsoid,
+    "mesh": step_mesh,
+}

@@ -1,0 +1,531 @@
+"""Diffusion-weighted MR simulation driver.
+
+Public API parity with the reference ``disimpy/simulations.py``:
+``simulation(...)`` (reference :1051-1429) and ``add_noise_to_data``
+(:1016-1040), plus the host-side samplers (``_fill_circle`` :353-366,
+``_fill_sphere`` :369-382, ``_fill_ellipsoid`` :385-399,
+``_initial_positions_cylinder`` :402-409, ``_initial_positions_ellipsoid``
+:412-418, ``_fill_mesh`` :505-579) and trajectory writing (:1043-1048).
+
+TPU-native differences from the reference driver:
+
+- The whole time loop is one compiled ``lax.scan`` (or a few windowed scans
+  when trajectories are being written) instead of one kernel launch plus a
+  host synchronization per time step.
+- All geometry is rescaled to step-length units so float32 — the TPU-native
+  precision — holds the reference's signal tolerances; ``dtype="float64"``
+  is available when ``jax_enable_x64`` is set.
+- Randomness is counter-based (threefry), keyed per (seed, time step): the
+  same seed reproduces the same simulation bit-for-bit on any device layout.
+- Spins shard across a ``jax.sharding.Mesh`` (``devices=`` argument); the
+  only collective is the final signal reduction.
+"""
+
+import math
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import substrates, utils
+from .engine import core as engine_core
+from .engine import mesh_accel
+from .engine.specs import (
+    CylinderSpec,
+    EllipsoidSpec,
+    FreeSpec,
+    MeshSpec,
+    SphereSpec,
+)
+from .gradients import GAMMA
+from .parallel import sharding as par
+
+__all__ = ["simulation", "add_noise_to_data"]
+
+
+# ---------------------------------------------------------------------------
+# Host-side initial-position samplers (NumPy, seeded via np.random.seed for
+# behavioral parity with the reference's host RNG use).
+# ---------------------------------------------------------------------------
+
+
+def _rejection_fill(n, proposal, accept):
+    """Vectorized rejection sampling: draw batches with ``proposal(k)``,
+    keep rows passing ``accept``, until ``n`` accepted points exist."""
+    accepted = []
+    got = 0
+    while got < n:
+        batch = proposal(max(n - got, 1) * 2)
+        keep = batch[accept(batch)]
+        accepted.append(keep)
+        got += len(keep)
+    return np.concatenate(accepted, axis=0)[:n]
+
+
+def _fill_ellipsoid(n, semiaxes):
+    """Sample n points uniformly inside an axis-aligned ellipsoid."""
+    semiaxes = np.asarray(semiaxes, dtype=float)
+    return _rejection_fill(
+        n,
+        lambda k: (np.random.random((k, 3)) - 0.5) * 2 * semiaxes,
+        lambda p: np.sum((p / semiaxes) ** 2, axis=1) < 1,
+    )
+
+
+def _fill_sphere(n, radius):
+    """Sample n points uniformly inside a sphere of the given radius.
+
+    Implemented as the equal-semiaxes ellipsoid case so that sphere and
+    ellipsoid simulations with the same seed draw identical initial
+    positions (the reference's samplers share their acceptance sequence the
+    same way, simulations.py:369-399).
+    """
+    return _fill_ellipsoid(n, np.array([radius, radius, radius]))
+
+
+def _fill_circle(n, radius):
+    """Sample n points uniformly inside a circle of the given radius."""
+    return _rejection_fill(
+        n,
+        lambda k: (np.random.random((k, 2)) - 0.5) * 2 * radius,
+        lambda p: np.linalg.norm(p, axis=1) < radius,
+    )
+
+
+def _initial_positions_cylinder(n_walkers, radius, R):
+    """Uniform points on the x=0 disc of a cylinder, rotated to the lab
+    frame by R (cylinder frame -> lab frame)."""
+    positions = np.zeros((n_walkers, 3))
+    positions[:, 1:3] = _fill_circle(n_walkers, radius)
+    return positions @ np.asarray(R).T
+
+
+def _initial_positions_ellipsoid(n_walkers, semiaxes, R):
+    """Uniform points inside an ellipsoid, rotated to the lab frame by R
+    (ellipsoid frame -> lab frame)."""
+    return _fill_ellipsoid(n_walkers, semiaxes) @ np.asarray(R).T
+
+
+# ---------------------------------------------------------------------------
+# Mesh point seeding: inside/outside classification by ray-crossing parity.
+# ---------------------------------------------------------------------------
+
+
+def _ray_crossings_x(points, triangles, chunk=4096):
+    """Number of triangles crossed by the +x ray from each point.
+
+    ``points`` is (n, 3); ``triangles`` is (m, 3, 3). Host NumPy in float64
+    (the classification is a preprocessing step; robustness beats speed).
+    Each triangle is tested exactly once per point, so — unlike the
+    reference kernel, which revisits triangles shared between subvoxels and
+    dedups by id (simulations.py:484-492) — no dedup is needed.
+    """
+    points = np.asarray(points, dtype=float)
+    counts = np.zeros(len(points), dtype=np.int64)
+    for start in range(0, len(triangles), chunk):
+        tri = np.asarray(triangles[start : start + chunk], dtype=float)
+        A, B, C = tri[:, 0, :], tri[:, 1, :], tri[:, 2, :]
+        E1 = B - A  # (m, 3)
+        E2 = C - A
+        # ray direction is (1, 0, 0): cross(ray, E2) = (0, -E2z, E2y)
+        P = np.stack((np.zeros(len(tri)), -E2[:, 2], E2[:, 1]), axis=1)
+        det = np.einsum("mk,mk->m", P, E1)  # (m,)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv_det = 1.0 / det
+            T = points[:, None, :] - A[None, :, :]  # (n, m, 3)
+            Q = np.cross(T, E1[None, :, :])  # (n, m, 3)
+            t = inv_det[None, :] * np.einsum("nmk,mk->nm", Q, E2)
+            u = inv_det[None, :] * np.einsum("nmk,mk->nm", T, P)
+            v = inv_det[None, :] * Q[..., 0]  # dot(Q, ray) = Q_x
+        hit = (
+            (det[None, :] != 0)
+            & (u >= 0)
+            & (u <= 1)
+            & (v >= 0)
+            & (v <= 1)
+            & (u + v <= 1)
+            & (t > 0)
+        )
+        counts += hit.sum(axis=1)
+    return counts
+
+
+def _fill_mesh(n_points, substrate, intra, seed, cuda_bs=None):
+    """Sample points uniformly inside ("intra") or outside ("extra") the
+    closed surface defined by a mesh substrate's triangles.
+
+    Points are proposed uniformly over the voxel and classified by the
+    parity of +x ray crossings (odd = inside). For non-periodic substrates
+    the 12 voxel-wall triangles appended at construction are excluded from
+    the parity test, as in the reference (simulations.py:531-546).
+
+    Parameters
+    ----------
+    n_points : int
+    substrate : disimpy_tpu.substrates._Substrate
+    intra : bool
+        True to sample inside the surface, False outside.
+    seed : int
+    cuda_bs : ignored
+        Accepted for drop-in compatibility with the reference signature.
+
+    Returns
+    -------
+    numpy.ndarray of shape (n_points, 3)
+    """
+    vertices = substrate.vertices
+    faces = substrate.faces
+    if not substrate.periodic:
+        vertices = vertices[:-8]
+        faces = faces[:-12]
+    triangles = vertices[faces]
+    rng = np.random.RandomState(seed)
+    voxel_size = np.asarray(substrate.voxel_size)
+
+    def proposal(k):
+        return rng.random_sample((k, 3)) * voxel_size
+
+    def accept(p):
+        inside = _ray_crossings_x(p, triangles) % 2 == 1
+        return inside if intra else ~inside
+
+    return _rejection_fill(n_points, proposal, accept)
+
+
+# ---------------------------------------------------------------------------
+# Noise and trajectory output.
+# ---------------------------------------------------------------------------
+
+
+def add_noise_to_data(data, sigma, seed=None):
+    """Add Rician noise: ``|data + N(0, sigma) + i N(0, sigma)|``.
+
+    Parameters
+    ----------
+    data : numpy.ndarray
+    sigma : float
+        Noise standard deviation per channel.
+    seed : int, optional
+
+    Returns
+    -------
+    noisy_data : numpy.ndarray
+    """
+    if seed:
+        np.random.seed(seed)
+    data = np.asarray(data)
+    return np.abs(
+        data
+        + np.random.normal(size=data.shape, scale=sigma, loc=0)
+        + 1j * np.random.normal(size=data.shape, scale=sigma, loc=0)
+    )
+
+
+def _write_traj(traj, mode, positions):
+    """Append one line with all walker positions to the trajectories file."""
+    with open(traj, mode) as f:
+        np.savetxt(f, np.asarray(positions, dtype=float).reshape(1, -1))
+
+
+# ---------------------------------------------------------------------------
+# Substrate preparation: host substrate -> engine spec + frame handling.
+# ---------------------------------------------------------------------------
+
+
+def _prepare_substrate(substrate, n_walkers, seed, scale, dtype, quiet):
+    """Build the engine spec, initial positions (substrate frame, scaled),
+    the frame->lab rotation (or None), and a geometry-extent estimate."""
+    if substrate.type == "free":
+        positions = np.zeros((n_walkers, 3))
+        return FreeSpec(), positions * scale, None, 1.0
+
+    if substrate.type == "sphere":
+        r = substrate.radius
+        positions = _fill_sphere(n_walkers, r) * scale
+        return SphereSpec(radius=jnp.asarray(r * scale, dtype=dtype)), positions, None, r * scale
+
+    if substrate.type == "cylinder":
+        r = substrate.radius
+        # Engine runs in the cylinder frame (axis = +x).
+        R = utils.vec2vec_rotmat(substrate.orientation, np.array([1.0, 0.0, 0.0]))
+        frame_to_lab = np.linalg.inv(R)
+        positions = np.zeros((n_walkers, 3))
+        positions[:, 1:3] = _fill_circle(n_walkers, r)
+        spec = CylinderSpec(radius=jnp.asarray(r * scale, dtype=dtype))
+        return spec, positions * scale, frame_to_lab, r * scale
+
+    if substrate.type == "ellipsoid":
+        semiaxes = np.asarray(substrate.semiaxes, dtype=float)
+        frame_to_lab = np.asarray(substrate.R, dtype=float)
+        positions = _fill_ellipsoid(n_walkers, semiaxes) * scale
+        spec = EllipsoidSpec(semiaxes=jnp.asarray(semiaxes * scale, dtype=dtype))
+        return spec, positions, frame_to_lab, float(np.max(semiaxes)) * scale
+
+    if substrate.type == "mesh":
+        if isinstance(substrate.init_pos, np.ndarray):
+            if n_walkers != substrate.init_pos.shape[0]:
+                raise ValueError(
+                    "n_walkers must be equal to the number of initial positions"
+                )
+            positions = np.asarray(substrate.init_pos, dtype=float)
+        else:
+            if not quiet:
+                print("Calculating initial positions")
+            if substrate.init_pos == "uniform":
+                positions = np.random.random((n_walkers, 3)) * substrate.voxel_size
+            else:
+                positions = _fill_mesh(
+                    n_walkers, substrate, substrate.init_pos == "intra", seed
+                )
+            if not quiet:
+                print("Finished calculating initial positions")
+        cache_key = (float(scale), str(dtype))
+        spec = substrate._accel_cache.get(cache_key)
+        if spec is None:
+            spec = mesh_accel.pack_mesh(substrate, scale, dtype)
+            substrate._accel_cache[cache_key] = spec
+        extent = float(np.max(substrate.voxel_size)) * scale
+        return spec, positions * scale, None, extent
+
+    raise ValueError("Incorrect value (%s) for substrate" % substrate)
+
+
+def _effective_epsilon(epsilon, scale, extent, n_t, dtype):
+    """Surface-offset magnitude in step-length units.
+
+    The user value (metres, reference default 1e-13) is honored, but floored
+    at ~64 ulps of the largest coordinate magnitude the simulation will
+    visit, so the offset survives rounding in float32: an offset below one
+    ulp would leave walkers exactly on the surface and re-collide forever.
+    The floor is ~1e-5 of the geometry size in float32 — far below the
+    reference's signal tolerances — and is no-op in float64.
+    """
+    magnitude = max(float(extent), math.sqrt(n_t) * 3.0, 1.0)
+    floor = 64.0 * float(jnp.finfo(dtype).eps) * magnitude
+    return max(float(epsilon) * scale, floor)
+
+
+# ---------------------------------------------------------------------------
+# The driver.
+# ---------------------------------------------------------------------------
+
+
+def simulation(
+    n_walkers,
+    diffusivity,
+    gradient,
+    dt,
+    substrate,
+    seed=123,
+    traj=None,
+    final_pos=False,
+    all_signals=False,
+    quiet=False,
+    cuda_bs=128,
+    max_iter=int(1e3),
+    epsilon=1e-13,
+    dtype="float32",
+    devices=None,
+):
+    """Simulate a diffusion-weighted MR experiment and return the signal.
+
+    Parameters
+    ----------
+    n_walkers : int
+        Number of random walkers (spins).
+    diffusivity : float
+        Diffusivity in SI units (m^2/s).
+    gradient : numpy.ndarray
+        Floating-point array of shape (number of measurements, number of
+        time points, 3): gradient magnitude per time point per axis (T/m).
+    dt : float
+        Duration of a time step (s).
+    substrate : disimpy_tpu.substrates._Substrate
+        Substrate object describing the microstructure.
+    seed : int, optional
+        Seed for random number generation. The same seed reproduces the
+        same simulation on any device layout.
+    traj : str, optional
+        Path of a file in which to save walker trajectories (one line per
+        time point: ``walker_1_x walker_1_y walker_1_z walker_2_x ...``).
+        The file can become very large.
+    final_pos : bool, optional
+        If True, return ``(signals, final_positions)``.
+    all_signals : bool, optional
+        If True, return each walker's signal instead of the total.
+    quiet : bool, optional
+        If True, do not print progress.
+    cuda_bs : int, optional
+        Accepted for drop-in compatibility with the reference API; the TPU
+        engine has no thread blocks, so the value is ignored.
+    max_iter : int, optional
+        Collision-iteration budget per time step; walkers that exhaust it
+        are flagged, warned about, and excluded from the signal.
+    epsilon : float, optional
+        Distance (m) by which a walker is moved off a surface after a
+        collision. Floored internally at the engine dtype's resolution (see
+        notes in the source).
+    dtype : str or numpy dtype, optional
+        Engine precision: "float32" (default; TPU-native) or "float64"
+        (requires jax x64 mode; matches the reference's precision).
+    devices : None, int, sequence of jax.Device, or jax.sharding.Mesh
+        Shard spins over multiple devices. Default: jax's default device.
+
+    Returns
+    -------
+    signal : numpy.ndarray
+        Simulated signal per measurement, ``Re sum_spins exp(i phi)``; or
+        per-walker signals if ``all_signals``; optionally with final walker
+        positions as a tuple if ``final_pos``.
+    """
+    # --- Validation (parity with reference simulations.py:1127-1153).
+    if not isinstance(n_walkers, int) or n_walkers <= 0:
+        raise ValueError("Incorrect value (%s) for n_walkers" % n_walkers)
+    if not isinstance(diffusivity, float) or diffusivity <= 0:
+        raise ValueError("Incorrect value (%s) for diffusivity" % diffusivity)
+    if (
+        not isinstance(gradient, np.ndarray)
+        or gradient.ndim != 3
+        or gradient.shape[2] != 3
+        or not np.issubdtype(gradient.dtype, np.floating)
+    ):
+        raise ValueError("Incorrect value (%s) for gradient" % gradient)
+    if not isinstance(dt, float) or dt <= 0:
+        raise ValueError("Incorrect value (%s) for dt" % dt)
+    if not isinstance(substrate, substrates._Substrate):
+        raise ValueError("Incorrect value (%s) for substrate" % substrate)
+    if not isinstance(seed, int) or seed < 0:
+        raise ValueError("Incorrect value (%s) for seed" % seed)
+    if traj:
+        if not isinstance(traj, str):
+            raise ValueError("Incorrect value (%s) for traj" % traj)
+    if not isinstance(quiet, bool):
+        raise ValueError("Incorrect value (%s) for quiet" % quiet)
+    if not isinstance(cuda_bs, int) or cuda_bs <= 0:
+        raise ValueError("Incorrect value (%s) for cuda_bs" % cuda_bs)
+    if not isinstance(max_iter, int) or max_iter < 1:
+        raise ValueError("Incorrect value (%s) for max_iter" % max_iter)
+    dtype = jnp.dtype(dtype)
+    if dtype == jnp.float64 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "dtype='float64' requires jax x64 mode; set jax_enable_x64=True"
+        )
+
+    if not quiet:
+        print("Starting simulation")
+        if traj:
+            print(
+                "The trajectories file will be up to %s GB"
+                % (gradient.shape[1] * n_walkers * 3 * 25 / 1e9)
+            )
+
+    n_meas, n_t, _ = gradient.shape
+    step_l = np.sqrt(6 * diffusivity * dt)
+    scale = 1.0 / step_l
+
+    if not quiet:
+        print("Number of random walkers = %s" % n_walkers)
+        print("Number of steps = %s" % n_t)
+        print("Step length = %s m" % step_l)
+        print("Step duration = %s s" % dt)
+
+    # Host RNG for initial-position sampling (parity: simulations.py:1169).
+    np.random.seed(seed)
+
+    spec, positions_np, frame_to_lab, extent = _prepare_substrate(
+        substrate, n_walkers, seed, scale, dtype, quiet
+    )
+    kind = substrate.type
+
+    # Phase coefficients: phi += GAMMA * dt * g . r with r in step-length
+    # units -> g_eff[t, m, :] = GAMMA * dt * step_l * g[m, t, :], rotated
+    # into the substrate frame when the engine runs in one.
+    g_eff = (GAMMA * dt * step_l) * np.transpose(gradient, (1, 0, 2))
+    if frame_to_lab is not None:
+        # g . r_lab = g . (A r_frame) = (A^T g) . r_frame
+        g_eff = g_eff @ frame_to_lab  # == einsum('tmj,jk->tmk', g_eff, A)
+
+    eps_eff = _effective_epsilon(epsilon, scale, extent, n_t, dtype)
+
+    # --- Device placement / sharding.
+    if isinstance(devices, jax.sharding.Mesh):
+        mesh = devices
+    elif devices is not None:
+        mesh = par.spin_mesh(devices)
+    else:
+        mesh = None
+    n_padded = n_walkers if mesh is None else par.padded_spin_count(n_walkers, mesh)
+    if n_padded != n_walkers:
+        pad = np.repeat(positions_np[:1], n_padded - n_walkers, axis=0)
+        positions_np = np.concatenate((positions_np, pad), axis=0)
+
+    positions = jnp.asarray(positions_np, dtype=dtype)
+    phases = jnp.zeros((n_meas, n_padded), dtype=dtype)
+    iter_exc = jnp.zeros(n_padded, dtype=bool)
+    g_eff_dev = jnp.asarray(g_eff, dtype=dtype)
+    if mesh is not None:
+        positions, phases, iter_exc = par.shard_simulation_arrays(
+            mesh, positions, phases, iter_exc
+        )
+        g_eff_dev, spec = par.replicate(mesh, g_eff_dev, spec)
+
+    key = jax.random.PRNGKey(seed)
+    epsilon_dev = jnp.asarray(eps_eff, dtype=dtype)
+    max_iter_dev = jnp.asarray(max_iter, dtype=jnp.int32)
+
+    def to_lab(pos_scaled):
+        pos = np.asarray(pos_scaled, dtype=float) * step_l
+        if frame_to_lab is not None:
+            pos = pos @ frame_to_lab.T
+        return pos
+
+    if traj:
+        _write_traj(traj, "w", to_lab(positions[:n_walkers]))
+        # Windowed execution keeps the collected-trajectory buffer bounded.
+        window = max(1, min(n_t, int(3e7) // max(3 * n_padded, 1)))
+    else:
+        window = n_t
+
+    t0 = 0
+    while t0 < n_t:
+        t1 = min(t0 + window, n_t)
+        (positions, phases, iter_exc), collected = engine_core.run_window(
+            kind,
+            spec,
+            positions,
+            phases,
+            iter_exc,
+            g_eff_dev[t0:t1],
+            jnp.arange(t0, t1),
+            key,
+            epsilon_dev,
+            max_iter_dev,
+            collect_positions=bool(traj),
+        )
+        if traj:
+            collected = np.asarray(collected)
+            for step_positions in collected:
+                _write_traj(traj, "a", to_lab(step_positions[:n_walkers]))
+        if not quiet and n_t > window:
+            print(f"\r{np.round(t1 / n_t * 100, 1)}%", end="", flush=True)
+        t0 = t1
+
+    phases = np.asarray(phases[:, :n_walkers], dtype=float)
+    iter_exc_np = np.asarray(iter_exc[:n_walkers])
+    if np.any(iter_exc_np):
+        warnings.warn(
+            "Maximum number of iterations was exceeded in the intersection "
+            + "check algorithm for walkers %s" % np.where(iter_exc_np)[0]
+        )
+
+    phases[:, np.where(iter_exc_np)[0]] = np.nan
+    if all_signals:
+        signals = np.real(np.exp(1j * phases))
+    else:
+        signals = np.real(np.nansum(np.exp(1j * phases), axis=1))
+    if not quiet:
+        print("\rSimulation finished")
+    if final_pos:
+        return signals, to_lab(positions[:n_walkers])
+    return signals
