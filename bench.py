@@ -1,0 +1,96 @@
+"""Headline benchmark: mesh-substrate Monte Carlo throughput on one chip.
+
+Simulates diffusion in a periodic square-packed bundle of ~1e5 triangles
+(64 cylinders x 1,600 triangles) with a 32-measurement waveform and reports
+spin-steps per second, the throughput metric from BASELINE.json
+(north star: 1e9 spin-steps/sec/chip on a 1e5-triangle mesh).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "spin-steps/s", "vs_baseline": N/1e9}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+NORTH_STAR = 1e9  # spin-steps/sec/chip (BASELINE.json)
+
+
+def build_substrate(step_l):
+    from disimpy_tpu import meshes, substrates
+
+    radius = 1.5e-6
+    spacing = 4e-6
+    grid = (8, 8)
+    vertices, faces = meshes.cylinder_array_mesh(
+        radius, spacing, grid=grid, length=32e-6, n_facets=32, n_segments=25
+    )
+    voxel = spacing * grid[0]
+    # Subvoxel width just above the step length: a step segment then spans
+    # at most 2 subvoxels per axis (8 candidate subvoxels per bounce).
+    n_sv = max(1, int(voxel / (1.05 * step_l)))
+    substrate = substrates.mesh(
+        vertices,
+        faces,
+        periodic=True,
+        n_sv=np.array([n_sv, n_sv, n_sv]),
+        quiet=True,
+    )
+    return substrate, len(faces)
+
+
+def main(n_spins=int(5e5), n_t=500, n_meas=32):
+    from disimpy_tpu import gradients, simulations
+
+    diffusivity = 2e-9
+    dt = 8.3e-5  # step length ~1 um
+    step_l = float(np.sqrt(6 * diffusivity * dt))
+    substrate, n_tris = build_substrate(step_l)
+    print(f"substrate: {n_tris} triangles, n_sv={substrate.n_sv}", file=sys.stderr)
+
+    bvals = np.linspace(1e8, 3e9, n_meas)
+    bvecs = np.tile(np.array([[1.0, 0.0, 0.0]]), (n_meas, 1))
+    gradient, g_dt = gradients.pgse(15e-3, dt * n_t - 15e-3, n_t, bvals, bvecs)
+    gradient = gradient * (g_dt / g_dt)  # keep shape; dt fixed below
+
+    def run(seed):
+        return simulations.simulation(
+            n_spins,
+            diffusivity,
+            gradient,
+            dt,
+            substrate,
+            seed=seed,
+            quiet=True,
+        )
+
+    # Warm-up run compiles everything and faults in the mesh buffers.
+    t0 = time.time()
+    run(1)
+    warm = time.time() - t0
+    print(f"warm-up (incl. compile): {warm:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    run(2)
+    elapsed = time.time() - t0
+    value = n_spins * n_t / elapsed
+    print(
+        f"timed run: {elapsed:.2f}s for {n_spins} spins x {n_t} steps",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"spin-steps/sec/chip, {n_tris}-triangle periodic mesh",
+                "value": value,
+                "unit": "spin-steps/s",
+                "vs_baseline": value / NORTH_STAR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

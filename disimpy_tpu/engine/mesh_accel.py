@@ -2,17 +2,22 @@
 
 The reference stores the acceleration grid as CSR index arrays and walks
 them with data-dependent per-thread loops (disimpy/simulations.py:929-983).
-On TPU, data-dependent loop bounds defeat vectorization, so the grid is
-re-packed into a rectangular padded layout: every subvoxel gets the same
-number of (possibly -1-padded) triangle slots, processed in fixed-size
-chunks. A spin's candidate subvoxels are enumerated from a *static* set of
-grid offsets covering the largest axis-aligned box a unit step segment can
-overlap; out-of-range slots and padding are masked rather than branched.
+On TPU, data-dependent loop bounds defeat vectorization and pointer-chasing
+gathers are expensive, so the grid is re-packed into a *fused, rectangular*
+layout: every subvoxel stores a fixed number of triangle slots, and each
+slot holds the full triangle record — 9 corner coordinates plus the unit
+normal — so a spin's candidate fetch is one contiguous row gather instead
+of a subvoxel->triangle-index->coordinates indirection chain. Padding slots
+hold degenerate (all-zero) triangles, which the Moller-Trumbore test
+rejects by construction (det = 0), so no separate validity mask is stored.
 
-Periodicity is handled exactly like the reference (simulations.py:937-971):
-candidate subvoxel indices live on the infinite grid, are wrapped into the
-voxel with a whole-voxel shift, and the spin is tested against the wrapped
-subvoxel's triangles at its shifted position.
+A spin's candidate subvoxels are enumerated from a static set of grid
+offsets covering the largest axis-aligned box a unit step segment can
+overlap; out-of-range slots are masked rather than branched. Periodicity is
+handled exactly like the reference (simulations.py:937-971): candidate
+subvoxel indices live on the infinite grid, are wrapped into the voxel with
+a whole-voxel shift, and the spin is tested against the wrapped subvoxel's
+triangles at its shifted position.
 """
 
 import math
@@ -25,8 +30,124 @@ from . import geometry
 from .specs import MeshSpec
 
 
+# Above this table size the halo layout (which duplicates triangle records
+# into every cell that can reach them) falls back to the per-cell layout.
+HALO_BYTES_LIMIT = 512 * 1024 * 1024
+
+
+def _chunking(K, chunk):
+    """Smallest even split of K into <= 48-wide chunks (minimal padding)."""
+    if chunk is None:
+        n_chunks = -(-K // 48)
+        chunk = -(-K // n_chunks)
+    n_chunks = -(-K // chunk)
+    return chunk, n_chunks, n_chunks * chunk
+
+
+def _triangle_records(substrate, scale):
+    """Fused per-triangle record: 9 corner coordinates + unit normal."""
+    vertices = np.asarray(substrate.vertices, dtype=np.float64) * scale
+    faces = np.asarray(substrate.faces)
+    tri = vertices[faces]  # (n_tris, 3, 3)
+    edge1 = tri[:, 1, :] - tri[:, 0, :]
+    edge2 = tri[:, 2, :] - tri[:, 0, :]
+    normals = np.cross(edge1, edge2)
+    norms = np.linalg.norm(normals, axis=1, keepdims=True)
+    normals = normals / np.where(norms == 0, 1.0, norms)
+    return np.concatenate((tri.reshape(-1, 9), normals), axis=1)  # (n_tris, 12)
+
+
+def _halo_table(counts, csr_ranges, tri_ids, record, n_sv, spans, voxel_size):
+    """Per-cell union of all triangle records reachable from a step segment
+    whose AABB minimum corner lies in the cell.
+
+    For each cell c and static offset o in the traversal stencil, the
+    neighbor cell c + o (on the infinite grid) wraps into the voxel with a
+    whole-voxel shift; its triangles are stored *pre-shifted* by that
+    amount, so the query tests exactly one row at the spin's unshifted
+    position. Duplicate (triangle, shift) pairs across offsets are removed.
+
+    Returns (table (n_cells, K_halo, 12) float64) or None if the table
+    would exceed HALO_BYTES_LIMIT.
+    """
+    n_sv_arr = np.array(n_sv)
+    n_cells = int(n_sv_arr.prod())
+    cells = np.stack(
+        np.meshgrid(
+            np.arange(n_sv[0]), np.arange(n_sv[1]), np.arange(n_sv[2]),
+            indexing="ij",
+        ),
+        axis=-1,
+    ).reshape(-1, 3)
+
+    entry_cell = []
+    entry_tri = []
+    entry_shift = []
+    for off in _slot_offsets(spans):
+        neighbor = cells + off[None, :]
+        shift_n = neighbor // n_sv_arr
+        wrapped = neighbor - shift_n * n_sv_arr
+        wsv = (wrapped[:, 0] * n_sv[1] + wrapped[:, 1]) * n_sv[2] + wrapped[:, 2]
+        cnt = counts[wsv]
+        starts = csr_ranges[wsv, 0]
+        total = int(cnt.sum())
+        if total == 0:
+            continue
+        cell_rep = np.repeat(np.arange(n_cells), cnt)
+        offsets_within = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt
+        )
+        entry_tri.append(tri_ids[np.repeat(starts, cnt) + offsets_within])
+        entry_cell.append(cell_rep)
+        entry_shift.append(np.repeat(shift_n, cnt, axis=0))
+    if not entry_cell:
+        return np.zeros((n_cells, 1, 12))
+    entry_cell = np.concatenate(entry_cell)
+    entry_tri = np.concatenate(entry_tri)
+    entry_shift = np.concatenate(entry_shift, axis=0)
+
+    # Dedup on (cell, triangle, shift): same triangle reached through two
+    # stencil offsets is one candidate; different periodic images are kept.
+    n_tris = len(record)
+    smin = entry_shift.min()
+    srange = int(entry_shift.max() - smin + 1)
+    key = ((entry_cell * n_tris + entry_tri) * srange + (entry_shift[:, 0] - smin))
+    key = key * srange + (entry_shift[:, 1] - smin)
+    key = key * srange + (entry_shift[:, 2] - smin)
+    _, unique_idx = np.unique(key, return_index=True)
+    entry_cell = entry_cell[unique_idx]
+    entry_tri = entry_tri[unique_idx]
+    entry_shift = entry_shift[unique_idx]
+
+    order = np.argsort(entry_cell, kind="stable")
+    entry_cell = entry_cell[order]
+    per_cell = np.bincount(entry_cell, minlength=n_cells)
+    K_halo = max(int(per_cell.max()), 1)
+    if n_cells * K_halo * 12 * 4 > HALO_BYTES_LIMIT:
+        return None
+    rows = record[entry_tri[order]].copy()
+    shift_xyz = entry_shift[order].astype(np.float64) * voxel_size[None, :]
+    rows[:, 0:9] += np.tile(shift_xyz, 3)  # shift the three corner points
+    table = np.zeros((n_cells, K_halo, 12))
+    slot = np.arange(len(entry_cell)) - np.repeat(
+        np.concatenate(([0], np.cumsum(per_cell)[:-1])), per_cell
+    )
+    table[entry_cell, slot] = rows
+    return table
+
+
 def pack_mesh(substrate, scale, dtype, chunk=None):
     """Build a :class:`MeshSpec` from a host-side mesh substrate.
+
+    Two layouts are produced depending on size:
+
+    - **halo** (preferred): each cell's row holds the deduplicated,
+      pre-shifted union of every triangle a unit step segment starting in
+      that cell can reach, so a collision query is a single row gather and
+      ``spans == (1, 1, 1)``.
+    - **per-cell** (fallback when the halo table would exceed
+      ``HALO_BYTES_LIMIT``): rows hold only the cell's own triangles and
+      the query scans the static neighborhood stencil.
 
     Parameters
     ----------
@@ -37,16 +158,15 @@ def pack_mesh(substrate, scale, dtype, chunk=None):
     dtype : jnp.dtype
         Engine floating-point dtype.
     chunk : int, optional
-        Candidate-triangle chunk size; defaults to a size that balances
-        gather width against loop trip count.
+        Candidate-triangle chunk size; defaults to the smallest even split
+        of the per-subvoxel slot count into <= 48-wide chunks, which bounds
+        the per-iteration workspace while minimizing padding waste.
 
     Returns
     -------
     MeshSpec
     """
-    vertices = np.asarray(substrate.vertices, dtype=np.float64) * scale
-    faces = np.asarray(substrate.faces)
-    tri = vertices[faces]  # (n_tris, 3, 3)
+    record = _triangle_records(substrate, scale)
     voxel_size = np.asarray(substrate.voxel_size, dtype=np.float64) * scale
     n_sv = tuple(int(x) for x in substrate.n_sv)
     n_subvoxels = n_sv[0] * n_sv[1] * n_sv[2]
@@ -55,24 +175,37 @@ def pack_mesh(substrate, scale, dtype, chunk=None):
     csr_ranges = np.asarray(substrate.subvoxel_indices)
     tri_ids = np.asarray(substrate.triangle_indices)
     counts = csr_ranges[:, 1] - csr_ranges[:, 0]
-    K = max(int(counts.max()) if counts.size else 0, 1)
-    if chunk is None:
-        chunk = min(128, K)
-    n_chunks = -(-K // chunk)
-    K_pad = n_chunks * chunk
-    sv_tris = np.full((n_subvoxels, K_pad), -1, dtype=np.int32)
-    # CSR is subvoxel-major and contiguous, so a single masked assignment
-    # scatters every subvoxel's triangle list into its padded row.
-    slot_mask = np.arange(K_pad)[None, :] < counts[:, None]
-    sv_tris[slot_mask] = tri_ids
 
     # Static per-axis traversal spans: a segment of length <= 1 step plus
     # epsilon slack overlaps at most floor(1 / w) + 2 subvoxels per axis.
     spans = tuple(int(math.floor(1.0 / w)) + 2 for w in sv_width)
 
+    halo = _halo_table(
+        counts, csr_ranges, tri_ids, record, n_sv, spans, voxel_size
+    )
+    if halo is not None:
+        sv_data = halo
+        spans = (1, 1, 1)
+        K = sv_data.shape[1]
+    else:
+        K = max(int(counts.max()) if counts.size else 0, 1)
+        chunk_k, n_chunks, K_pad = _chunking(K, chunk)
+        sv_data = np.zeros((n_subvoxels, K_pad, 12), dtype=np.float64)
+        # CSR is subvoxel-major and contiguous, so one masked assignment
+        # scatters every subvoxel's triangle records into its padded row.
+        slot_mask = np.arange(K_pad)[None, :] < counts[:, None]
+        sv_data[slot_mask] = record[tri_ids]
+        K = K_pad
+
+    chunk, n_chunks, K_pad = _chunking(K, chunk)
+    if K_pad != sv_data.shape[1]:
+        pad = np.zeros((n_subvoxels, K_pad - sv_data.shape[1], 12))
+        sv_data = np.concatenate((sv_data, pad), axis=1)
+
     return MeshSpec(
-        tri=jnp.asarray(tri, dtype=dtype),
-        sv_tris=jnp.asarray(sv_tris.reshape(n_subvoxels, n_chunks, chunk)),
+        tri=jnp.asarray(
+            sv_data.reshape(n_subvoxels, n_chunks, chunk, 12), dtype=dtype
+        ),
         voxel_size=jnp.asarray(voxel_size, dtype=dtype),
         sv_width=jnp.asarray(sv_width, dtype=dtype),
         perm_prob=jnp.asarray(substrate.perm_prob, dtype=dtype),
@@ -109,8 +242,10 @@ def nearest_hit(mesh: MeshSpec, r0, direction, rem):
     min_d : jnp.ndarray
         (n,) distance to the closest strictly-forward intersection
         (``inf`` when none is found among the candidates).
-    best_tri : jnp.ndarray
-        (n,) int32 index of the closest triangle (0 when none).
+    normal : jnp.ndarray
+        (n, 3) unit normal of the closest triangle (arbitrary when no hit;
+        callers mask on ``min_d``). Sign is unoriented — reflection and
+        crossing orient it against/along the incoming direction.
     """
     n = r0.shape[0]
     dtype = r0.dtype
@@ -123,11 +258,11 @@ def nearest_hit(mesh: MeshSpec, r0, direction, rem):
     upper = jnp.maximum(upper, base + 1)  # never an empty range
 
     offsets = jnp.asarray(_slot_offsets(mesh.spans))  # (S, 3)
-    n_chunks = mesh.sv_tris.shape[1]
+    n_chunks = mesh.tri.shape[1]
     row_idx = jnp.arange(n)
 
     def visit_slot(carry, off):
-        min_d, best = carry
+        min_d, normal = carry
         idx = base + off[None, :]  # (n, 3) infinite-grid subvoxel
         in_range = jnp.all(idx < upper, axis=1)
         shift_n = jnp.floor_divide(idx, n_sv)
@@ -137,34 +272,36 @@ def nearest_hit(mesh: MeshSpec, r0, direction, rem):
         shifted_r0 = r0 - shift_n.astype(dtype) * mesh.voxel_size
 
         def visit_chunk(carry_c, c):
-            min_d_c, best_c = carry_c
-            ids = mesh.sv_tris[sv, c]  # (n, chunk)
-            tri = mesh.tri[jnp.maximum(ids, 0)]  # (n, chunk, 3, 3)
+            min_d_c, normal_c = carry_c
+            slab = mesh.tri[sv, c]  # (n, chunk, 12) one contiguous row gather
+            tri = slab[..., :9].reshape(slab.shape[0], slab.shape[1], 3, 3)
             t = geometry.ray_triangle_intersection(
                 tri, shifted_r0[:, None, :], direction[:, None, :]
             )
-            valid = (ids >= 0) & in_range[:, None] & (t > 0)
-            t = jnp.where(valid, t, jnp.inf)
+            t = jnp.where(in_range[:, None] & (t > 0), t, jnp.inf)
             arg = jnp.argmin(t, axis=1)
             d_here = t[row_idx, arg]
-            id_here = ids[row_idx, arg]
+            normal_here = slab[row_idx, arg, 9:12]
             better = d_here < min_d_c
             return (
                 jnp.where(better, d_here, min_d_c),
-                jnp.where(better, id_here, best_c),
+                jnp.where(better[:, None], normal_here, normal_c),
             ), None
 
         if n_chunks == 1:
-            (min_d, best), _ = visit_chunk((min_d, best), 0)
+            (min_d, normal), _ = visit_chunk((min_d, normal), 0)
         else:
-            (min_d, best), _ = lax.scan(
-                visit_chunk, (min_d, best), jnp.arange(n_chunks)
+            (min_d, normal), _ = lax.scan(
+                visit_chunk, (min_d, normal), jnp.arange(n_chunks)
             )
-        return (min_d, best), None
+        return (min_d, normal), None
 
-    init = (jnp.full((n,), jnp.inf, dtype=dtype), jnp.zeros((n,), jnp.int32))
+    init = (
+        jnp.full((n,), jnp.inf, dtype=dtype),
+        jnp.zeros((n, 3), dtype=dtype),
+    )
     if offsets.shape[0] == 1:
-        (min_d, best), _ = visit_slot(init, offsets[0])
+        (min_d, normal), _ = visit_slot(init, offsets[0])
     else:
-        (min_d, best), _ = lax.scan(visit_slot, init, offsets)
-    return min_d, best
+        (min_d, normal), _ = lax.scan(visit_slot, init, offsets)
+    return min_d, normal

@@ -65,23 +65,24 @@ class EllipsoidSpec:
 
 @partial(
     _register,
-    data_fields=["tri", "sv_tris", "voxel_size", "sv_width", "perm_prob"],
+    data_fields=["tri", "voxel_size", "sv_width", "perm_prob"],
     meta_fields=["n_sv", "spans", "chunk"],
 )
 @dataclasses.dataclass(frozen=True)
 class MeshSpec:
-    """Triangle mesh plus its packed uniform-grid acceleration structure.
+    """Triangle mesh packed into its uniform-grid acceleration structure.
 
     Attributes
     ----------
     tri : jnp.ndarray
-        (n_tris, 3, 3) triangle corner coordinates (step-length units),
-        pre-gathered from vertices/faces so the hot path needs a single
-        indexed load per candidate triangle.
-    sv_tris : jnp.ndarray
-        (n_subvoxels, n_chunks, chunk) int32. Triangle indices per subvoxel,
-        padded with -1 to the rectangular chunked layout; subvoxel (x, y, z)
-        is row ``x * n_sv[1] * n_sv[2] + y * n_sv[2] + z``.
+        (n_subvoxels, n_chunks, chunk, 12) fused per-slot triangle records:
+        9 corner coordinates (step-length units) followed by the unit
+        normal. Subvoxel (x, y, z) is row
+        ``x * n_sv[1] * n_sv[2] + y * n_sv[2] + z``; padding slots hold
+        all-zero (degenerate) triangles that the intersection test rejects
+        by construction. Triangles overlapping several subvoxels are stored
+        once per subvoxel — the fetch path trades modest duplication for a
+        single contiguous row gather per candidate.
     voxel_size : jnp.ndarray
         (3,) voxel extent (step-length units); the periodic tile.
     sv_width : jnp.ndarray
@@ -98,7 +99,6 @@ class MeshSpec:
     """
 
     tri: jnp.ndarray
-    sv_tris: jnp.ndarray
     voxel_size: jnp.ndarray
     sv_width: jnp.ndarray
     perm_prob: jnp.ndarray

@@ -113,48 +113,89 @@ def step_ellipsoid(positions, key, spec: EllipsoidSpec, epsilon, max_iter):
     return _bounce_analytic(positions, key, epsilon, max_iter, distance_and_normal)
 
 
+def _resolve_mesh_hits(spec, r0, direction, rem, d, normal, hit, u, epsilon):
+    """Apply reflect-or-cross to the spins flagged ``hit``.
+
+    The crossing decision uses a strict ``u < perm_prob`` so that
+    ``perm_prob = 0`` is exactly impermeable for every possible uniform
+    draw (the reference's ``perm_prob < u`` comparison lets a walker
+    through when the RNG returns exactly 0, simulations.py:988).
+    """
+    go_through = u < spec.perm_prob
+    refl_r0, refl_dir = geometry.reflect(r0, direction, d, normal, epsilon)
+    cross_r0 = geometry.crossing(r0, direction, d, normal, epsilon)
+    reflected = hit & ~go_through
+    crossed = hit & go_through
+    r0 = jnp.where(
+        reflected[:, None], refl_r0, jnp.where(crossed[:, None], cross_r0, r0)
+    )
+    direction = jnp.where(reflected[:, None], refl_dir, direction)
+    rem = jnp.where(hit, rem - d, rem)
+    return r0, direction, rem
+
+
 def step_mesh(positions, key, spec: MeshSpec, epsilon, max_iter):
     """Diffusion restricted by a triangle mesh (reference :878-1013).
 
     Per bounce: query the acceleration grid for the closest forward
-    triangle hit within the remaining segment, then either reflect off it or
-    (with probability ``perm_prob``) cross it. The crossing decision uses a
-    strict ``u < perm_prob`` so that ``perm_prob = 0`` is exactly
-    impermeable for every possible uniform draw.
+    triangle hit within the remaining segment, then either reflect off it
+    or (with probability ``perm_prob``) cross it.
+
+    Execution is work-efficient: the first collision query runs on the full
+    ensemble (every spin needs it), but subsequent bounce iterations — which
+    concern only the minority of spins that actually hit a wall — run on a
+    fixed-capacity *compacted* buffer of still-active spins. This avoids the
+    reference pattern (and a naive batched port) of paying a full-ensemble
+    traversal per bounce iteration when 90% of lanes are idle.
     """
     n = positions.shape[0]
     dtype = positions.dtype
     direction = rng.random_unit_steps(rng.bounce_key(key, 0), n, dtype)
     rem = jnp.ones(n, dtype=dtype)
-    iters = jnp.zeros(n, dtype=jnp.int32)
-    active = jnp.ones(n, dtype=bool)
-    bounce_idx = jnp.zeros((), dtype=jnp.int32)
+
+    # First pass: full-batch query and resolve.
+    d, normal = mesh_accel.nearest_hit(spec, positions, direction, rem)
+    hit = d <= rem
+    u = rng.uniforms(rng.bounce_key(key, 1), n, dtype)
+    r0, direction, rem = _resolve_mesh_hits(
+        spec, positions, direction, rem, d, normal, hit, u, epsilon
+    )
+    iters = jnp.ones(n, dtype=jnp.int32)
+    active = hit & (rem > 0) & (1 < max_iter)
+
+    # Compacted bounce loop: retire up to `capacity` pending bounces per
+    # iteration; spins beyond capacity stay active and are picked up on a
+    # later iteration, so any capacity value is correct.
+    capacity = min(n, max(128, n // 8))
 
     def cond(state):
         return jnp.any(state[4])
 
     def body(state):
         r0, direction, rem, iters, active, bounce_idx = state
-        iters = iters + active
-        d, tri_idx = mesh_accel.nearest_hit(spec, r0, direction, rem)
-        hit = active & (d <= rem)
-        u = rng.uniforms(rng.bounce_key(key, bounce_idx + 1), n, dtype)
-        go_through = u < spec.perm_prob
-        triangle = spec.tri[tri_idx]
-        normal = geometry.triangle_normals(triangle)
-        refl_r0, refl_dir = geometry.reflect(r0, direction, d, normal, epsilon)
-        cross_r0 = geometry.crossing(r0, direction, d, normal, epsilon)
-        reflected = hit & ~go_through
-        crossed = hit & go_through
-        r0 = jnp.where(
-            reflected[:, None], refl_r0, jnp.where(crossed[:, None], cross_r0, r0)
+        idx = jnp.nonzero(active, size=capacity, fill_value=n)[0]
+        valid = idx < n
+        idx_c = jnp.minimum(idx, n - 1)
+        r0_s = r0[idx_c]
+        dir_s = direction[idx_c]
+        rem_s = jnp.where(valid, rem[idx_c], 0.0)
+        iters_s = iters[idx_c] + valid
+        d, normal = mesh_accel.nearest_hit(spec, r0_s, dir_s, rem_s)
+        hit = valid & (d <= rem_s)
+        u = rng.uniforms(rng.bounce_key(key, bounce_idx), capacity, dtype)
+        r0_s, dir_s, rem_s = _resolve_mesh_hits(
+            spec, r0_s, dir_s, rem_s, d, normal, hit, u, epsilon
         )
-        direction = jnp.where(reflected[:, None], refl_dir, direction)
-        rem = jnp.where(hit, rem - d, rem)
-        active = hit & (rem > 0) & (iters < max_iter)
+        still = hit & (rem_s > 0) & (iters_s < max_iter)
+        # Scatter the subset back; fill slots (index n) drop out-of-bounds.
+        r0 = r0.at[idx].set(r0_s, mode="drop")
+        direction = direction.at[idx].set(dir_s, mode="drop")
+        rem = rem.at[idx].set(rem_s, mode="drop")
+        iters = iters.at[idx].set(iters_s, mode="drop")
+        active = active.at[idx].set(still, mode="drop")
         return (r0, direction, rem, iters, active, bounce_idx + 1)
 
-    state = (positions, direction, rem, iters, active, bounce_idx)
+    state = (r0, direction, rem, iters, active, jnp.asarray(2, jnp.int32))
     r0, direction, rem, iters, _, _ = lax.while_loop(cond, body, state)
     exc = iters >= max_iter
     return r0 + direction * rem[:, None], exc

@@ -52,12 +52,24 @@ __all__ = ["simulation", "add_noise_to_data"]
 
 def _rejection_fill(n, proposal, accept):
     """Vectorized rejection sampling: draw batches with ``proposal(k)``,
-    keep rows passing ``accept``, until ``n`` accepted points exist."""
+    keep rows passing ``accept``, until ``n`` accepted points exist.
+    Batch sizes adapt to the observed acceptance rate (which can be <1%
+    when seeding thin compartments such as the interior of a neuron mesh).
+    """
     accepted = []
     got = 0
+    proposed = 0
+    kept = 0
     while got < n:
-        batch = proposal(max(n - got, 1) * 2)
+        if proposed == 0:
+            k = max(n - got, 1) * 2
+        else:
+            rate = max(kept / proposed, 1.0 / proposed, 1e-4)
+            k = int(min(max((n - got) / rate * 1.2, 1024), 2**21))
+        batch = proposal(k)
         keep = batch[accept(batch)]
+        proposed += k
+        kept += len(keep)
         accepted.append(keep)
         got += len(keep)
     return np.concatenate(accepted, axis=0)[:n]
@@ -112,43 +124,75 @@ def _initial_positions_ellipsoid(n_walkers, semiaxes, R):
 # ---------------------------------------------------------------------------
 
 
-def _ray_crossings_x(points, triangles, chunk=4096):
+@jax.jit
+def _count_crossings_x(points, triangles, candidates):
+    """Number of candidate triangles crossed by the +x ray from each point.
+
+    ``points`` (n, 3); ``triangles`` (m, 3, 3); ``candidates`` (n, K) int
+    triangle indices per point, -1-padded. Each id appears at most once per
+    point, so parity needs no dedup. Runs as one fused XLA program (the
+    classification sweep is memory-bound; fusion keeps the Moller-Trumbore
+    intermediates out of memory).
+    """
+    from .engine import geometry
+
+    sel = triangles[jnp.maximum(candidates, 0)]  # (n, K, 3, 3)
+    ray = jnp.zeros_like(points).at[:, 0].set(1.0)
+    t = geometry.ray_triangle_intersection(sel, points[:, None, :], ray[:, None, :])
+    hit = (candidates >= 0) & (t > 0)
+    return jnp.sum(hit, axis=1)
+
+
+def _ray_crossings_x(points, triangles, tri_subset=None):
     """Number of triangles crossed by the +x ray from each point.
 
-    ``points`` is (n, 3); ``triangles`` is (m, 3, 3). Host NumPy in float64
-    (the classification is a preprocessing step; robustness beats speed).
-    Each triangle is tested exactly once per point, so — unlike the
-    reference kernel, which revisits triangles shared between subvoxels and
-    dedups by id (simulations.py:484-492) — no dedup is needed.
+    ``points`` is (n, 3); ``triangles`` is (m, 3, 3). If ``tri_subset`` is
+    given — an (n, K) int array of candidate triangle indices per point,
+    -1-padded — only those triangles are tested.
     """
-    points = np.asarray(points, dtype=float)
-    counts = np.zeros(len(points), dtype=np.int64)
-    for start in range(0, len(triangles), chunk):
-        tri = np.asarray(triangles[start : start + chunk], dtype=float)
-        A, B, C = tri[:, 0, :], tri[:, 1, :], tri[:, 2, :]
-        E1 = B - A  # (m, 3)
-        E2 = C - A
-        # ray direction is (1, 0, 0): cross(ray, E2) = (0, -E2z, E2y)
-        P = np.stack((np.zeros(len(tri)), -E2[:, 2], E2[:, 1]), axis=1)
-        det = np.einsum("mk,mk->m", P, E1)  # (m,)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            inv_det = 1.0 / det
-            T = points[:, None, :] - A[None, :, :]  # (n, m, 3)
-            Q = np.cross(T, E1[None, :, :])  # (n, m, 3)
-            t = inv_det[None, :] * np.einsum("nmk,mk->nm", Q, E2)
-            u = inv_det[None, :] * np.einsum("nmk,mk->nm", T, P)
-            v = inv_det[None, :] * Q[..., 0]  # dot(Q, ray) = Q_x
-        hit = (
-            (det[None, :] != 0)
-            & (u >= 0)
-            & (u <= 1)
-            & (v >= 0)
-            & (v <= 1)
-            & (u + v <= 1)
-            & (t > 0)
+    points = np.asarray(points, dtype=np.float32)
+    if tri_subset is None:
+        tri_subset = np.broadcast_to(
+            np.arange(len(triangles))[None, :], (len(points), len(triangles))
         )
-        counts += hit.sum(axis=1)
-    return counts
+    counts = _count_crossings_x(
+        jnp.asarray(points),
+        jnp.asarray(np.asarray(triangles), dtype=jnp.float32),
+        jnp.asarray(tri_subset),
+    )
+    return np.asarray(counts)
+
+
+def _column_candidates(substrate, n_faces):
+    """Per-(y, z)-grid-column candidate triangle lists for +x parity rays.
+
+    A +x ray from any point only crosses triangles that overlap its (y, z)
+    column of the acceleration grid, so the per-point candidate set shrinks
+    from all triangles to the column's deduplicated union (built from the
+    CSR arrays the substrate already carries). Triangle ids >= ``n_faces``
+    (the appended voxel-wall triangles of non-periodic substrates) are
+    excluded. Returns an (n_columns, K) -1-padded int array addressed by
+    ``column = y * n_sv[2] + z``.
+    """
+    n_sv = np.asarray(substrate.n_sv).astype(int)
+    ranges = np.asarray(substrate.subvoxel_indices)
+    ids = np.asarray(substrate.triangle_indices)
+    n_cols = int(n_sv[1] * n_sv[2])
+    columns = [[] for _ in range(n_cols)]
+    sv = 0
+    for x in range(n_sv[0]):
+        for col in range(n_cols):
+            start, end = ranges[sv]
+            columns[col].extend(
+                i for i in ids[start:end] if i < n_faces
+            )
+            sv += 1
+    columns = [np.unique(c) if c else np.empty(0, dtype=int) for c in columns]
+    K = max(1, max(len(c) for c in columns))
+    table = np.full((n_cols, K), -1, dtype=np.int64)
+    for col, c in enumerate(columns):
+        table[col, : len(c)] = c
+    return table
 
 
 def _fill_mesh(n_points, substrate, intra, seed, cuda_bs=None):
@@ -180,14 +224,31 @@ def _fill_mesh(n_points, substrate, intra, seed, cuda_bs=None):
         vertices = vertices[:-8]
         faces = faces[:-12]
     triangles = vertices[faces]
+    columns = _column_candidates(substrate, len(faces))
+    n_sv = np.asarray(substrate.n_sv).astype(int)
     rng = np.random.RandomState(seed)
     voxel_size = np.asarray(substrate.voxel_size)
+    sv_width = voxel_size / n_sv
 
     def proposal(k):
         return rng.random_sample((k, 3)) * voxel_size
 
+    # Fixed chunk size so the jitted crossing counter compiles once.
+    chunk = max(512, int(2e7) // max(columns.shape[1], 1))
+
     def accept(p):
-        inside = _ray_crossings_x(p, triangles) % 2 == 1
+        n_pad = -(-len(p) // chunk) * chunk
+        padded = np.concatenate((p, np.broadcast_to(p[-1], (n_pad - len(p), 3))))
+        inside = np.empty(n_pad, dtype=bool)
+        for s in range(0, n_pad, chunk):
+            q = padded[s : s + chunk]
+            cy = np.clip((q[:, 1] / sv_width[1]).astype(int), 0, n_sv[1] - 1)
+            cz = np.clip((q[:, 2] / sv_width[2]).astype(int), 0, n_sv[2] - 1)
+            candidates = columns[cy * n_sv[2] + cz]
+            inside[s : s + chunk] = (
+                _ray_crossings_x(q, triangles, candidates) % 2
+            ).astype(bool)
+        inside = inside[: len(p)]
         return inside if intra else ~inside
 
     return _rejection_fill(n_points, proposal, accept)
@@ -247,8 +308,13 @@ def _prepare_substrate(substrate, n_walkers, seed, scale, dtype, quiet):
 
     if substrate.type == "cylinder":
         r = substrate.radius
+        # A cylinder is symmetric under orientation sign flip; canonicalize
+        # so that antiparallel orientations produce identical simulations.
+        orientation = np.asarray(substrate.orientation, dtype=float)
+        if orientation[np.argmax(np.abs(orientation))] < 0:
+            orientation = -orientation
         # Engine runs in the cylinder frame (axis = +x).
-        R = utils.vec2vec_rotmat(substrate.orientation, np.array([1.0, 0.0, 0.0]))
+        R = utils.vec2vec_rotmat(orientation, np.array([1.0, 0.0, 0.0]))
         frame_to_lab = np.linalg.inv(R)
         positions = np.zeros((n_walkers, 3))
         positions[:, 1:3] = _fill_circle(n_walkers, r)
