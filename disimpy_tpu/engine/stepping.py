@@ -21,8 +21,28 @@ driver.
 import jax.numpy as jnp
 from jax import lax
 
-from . import geometry, mesh_accel, rng
+from . import config, geometry, mesh_accel, rng
 from .specs import CylinderSpec, EllipsoidSpec, FreeSpec, MeshSpec, SphereSpec
+
+
+def _make_mesh_query(spec, dtype):
+    """Pick the nearest-hit implementation for this spec/backend and return
+    a ``query(r0, direction, rem) -> (min_d, normal)`` closure."""
+    if config.mesh_query_backend(spec, dtype) == "pallas":
+        from . import pallas_mesh
+
+        table = pallas_mesh.pallas_table(spec)
+
+        def query(r0, direction, rem):
+            return pallas_mesh.nearest_hit_pallas(
+                spec, r0, direction, rem, table,
+                interpret=config.pallas_interpret,
+            )
+
+        return query
+    return lambda r0, direction, rem: mesh_accel.nearest_hit(
+        spec, r0, direction, rem
+    )
 
 
 def step_free(positions, key, spec: FreeSpec, epsilon, max_iter):
@@ -150,11 +170,12 @@ def step_mesh(positions, key, spec: MeshSpec, epsilon, max_iter):
     """
     n = positions.shape[0]
     dtype = positions.dtype
+    query = _make_mesh_query(spec, dtype)
     direction = rng.random_unit_steps(rng.bounce_key(key, 0), n, dtype)
     rem = jnp.ones(n, dtype=dtype)
 
     # First pass: full-batch query and resolve.
-    d, normal = mesh_accel.nearest_hit(spec, positions, direction, rem)
+    d, normal = query(positions, direction, rem)
     hit = d <= rem
     u = rng.uniforms(rng.bounce_key(key, 1), n, dtype)
     r0, direction, rem = _resolve_mesh_hits(
@@ -180,7 +201,7 @@ def step_mesh(positions, key, spec: MeshSpec, epsilon, max_iter):
         dir_s = direction[idx_c]
         rem_s = jnp.where(valid, rem[idx_c], 0.0)
         iters_s = iters[idx_c] + valid
-        d, normal = mesh_accel.nearest_hit(spec, r0_s, dir_s, rem_s)
+        d, normal = query(r0_s, dir_s, rem_s)
         hit = valid & (d <= rem_s)
         u = rng.uniforms(rng.bounce_key(key, bounce_idx), capacity, dtype)
         r0_s, dir_s, rem_s = _resolve_mesh_hits(
