@@ -157,7 +157,7 @@ def _run_query(cells, next_start, spin_rows, table, interpret=False):
             pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((4, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
         scratch_shapes=[

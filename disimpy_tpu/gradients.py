@@ -242,6 +242,86 @@ def pgse(delta, DELTA, n_t, bvals, bvecs):
     return rotate_gradient(gradient, Rs), dt
 
 
+def ogse(delta, DELTA, frequency, n_t, bvals, bvecs, waveform="cos"):
+    """Synthesize an oscillating-gradient spin-echo (OGSE) waveform set.
+
+    Two oscillating lobes of duration ``delta`` whose onsets are ``DELTA``
+    apart; the second lobe is inverted (spin-echo refocusing). An addition
+    over the reference toolkit: OGSE probes shorter diffusion times than
+    PGSE can reach, which is the standard sequence for small restrictions.
+
+    Parameters
+    ----------
+    delta : float
+        Lobe duration (s). ``delta * frequency`` should be an integer so
+        each lobe holds a whole number of periods.
+    DELTA : float
+        Lobe-onset separation (s).
+    frequency : float
+        Oscillation frequency (Hz).
+    n_t : int
+        Number of time points in the returned gradient array.
+    bvals : float or numpy.ndarray
+        b-value(s) (s/m^2).
+    bvecs : numpy.ndarray
+        Unit b-vector(s), shape (n of measurements, 3) (or (3,) for one).
+    waveform : str, optional
+        "cos" (apodised cosine: sine quarter-period ramps at the lobe ends,
+        zero net q at all times inside the lobe) or "sin".
+
+    Returns
+    -------
+    gradient : numpy.ndarray
+        Gradient array of shape (n of measurements, n_t, 3).
+    dt : float
+        Time-step duration (s).
+    """
+    if waveform not in ("sin", "cos"):
+        raise ValueError(f"Incorrect value ({waveform}) for waveform")
+    bvals = np.atleast_1d(np.asarray(bvals, dtype=float))
+    bvecs = np.atleast_2d(np.asarray(bvecs, dtype=float))
+    n_fine = int(1e6)
+    T = delta + DELTA
+    fine_dt = T / (n_fine - 1)
+    t = np.arange(n_fine) * fine_dt
+    lobe = np.zeros(n_fine)
+    in_first = t < delta
+    in_second = t >= DELTA
+    if waveform == "sin":
+        shape_first = np.sin(2 * np.pi * frequency * t)
+        shape_second = np.sin(2 * np.pi * frequency * (t - DELTA))
+    else:
+        # Apodised cosine (Does et al., MRM 2003): the first and last
+        # quarter-cycles of the cosine are replaced by half-cycles of a sine
+        # at twice the frequency, giving zero ends, continuity, and zero
+        # net integral per lobe.
+        def apodised(tau):
+            quarter = 1.0 / (4 * frequency)
+            head = np.sin(4 * np.pi * frequency * tau)
+            body = np.cos(2 * np.pi * frequency * tau)
+            tail = np.sin(4 * np.pi * frequency * (delta - tau))
+            return np.where(
+                tau < quarter,
+                head,
+                np.where(tau > delta - quarter, tail, body),
+            )
+
+        shape_first = apodised(t)
+        shape_second = apodised(t - DELTA)
+    lobe = np.where(in_first, shape_first, 0.0) - np.where(
+        in_second, shape_second, 0.0
+    )
+    gradient = np.zeros((1, n_fine, 3))
+    gradient[0, :, 0] = lobe
+    gradient, dt = interpolate_gradient(gradient, fine_dt, n_t)
+    gradient = np.repeat(gradient, len(bvals), axis=0)
+    gradient = set_b(gradient, dt, bvals)
+    Rs = np.stack(
+        [utils.vec2vec_rotmat(np.array([1.0, 0.0, 0.0]), bvec) for bvec in bvecs]
+    )
+    return rotate_gradient(gradient, Rs), dt
+
+
 def load_camino_scheme_file(path):
     """Load a Camino ``GRADIENT_WAVEFORM`` scheme file as a gradient array.
 

@@ -149,3 +149,30 @@ def test_load_camino_scheme_file_rejects_bad_input(tmp_path):
     )
     with pytest.raises(Exception, match="time step duration"):
         gradients.load_camino_scheme_file(str(mixed_dt))
+
+
+def test_ogse_invariants():
+    delta = 10e-3
+    DELTA = 20e-3
+    frequency = 500.0  # 5 full periods per lobe
+    bvals = np.array([0.5e9, 1e9])
+    bvecs = np.array([[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    n_t = int(2e4)
+    for waveform in ("sin", "cos"):
+        gradient, dt = gradients.ogse(
+            delta, DELTA, frequency, n_t, bvals, bvecs, waveform=waveform
+        )
+        npt.assert_equal(gradient.shape, (2, n_t, 3))
+        npt.assert_almost_equal(gradient[:, 0, :], 0)
+        npt.assert_almost_equal(gradient[:, -1, :], 0)
+        # Spin-echo condition: zero zeroth moment.
+        npt.assert_almost_equal(
+            np.sum(gradient, axis=1) * dt / np.max(np.abs(gradient)), 0, 6
+        )
+        npt.assert_almost_equal(gradients.calc_b(gradient, dt) / 1e9, bvals / 1e9)
+        # Measurement direction.
+        peak = np.argmax(np.abs(gradient[1, :, 2]))
+        assert abs(gradient[1, peak, 2]) > 0
+        npt.assert_almost_equal(gradient[1, peak, 0], 0)
+    with pytest.raises(ValueError):
+        gradients.ogse(delta, DELTA, frequency, n_t, bvals, bvecs, waveform="square")
