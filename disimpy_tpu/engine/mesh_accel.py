@@ -101,7 +101,7 @@ def _halo_table(counts, csr_ranges, tri_ids, record, n_sv, spans, voxel_size):
         entry_cell.append(cell_rep)
         entry_shift.append(np.repeat(shift_n, cnt, axis=0))
     if not entry_cell:
-        return np.zeros((n_cells, 1, 12))
+        return np.zeros((n_cells, 1, 12)), np.zeros(n_cells, np.int32)
     entry_cell = np.concatenate(entry_cell)
     entry_tri = np.concatenate(entry_tri)
     entry_shift = np.concatenate(entry_shift, axis=0)
@@ -124,7 +124,7 @@ def _halo_table(counts, csr_ranges, tri_ids, record, n_sv, spans, voxel_size):
     per_cell = np.bincount(entry_cell, minlength=n_cells)
     K_halo = max(int(per_cell.max()), 1)
     if n_cells * K_halo * 12 * 4 > HALO_BYTES_LIMIT:
-        return None
+        return None, None
     rows = record[entry_tri[order]].copy()
     shift_xyz = entry_shift[order].astype(np.float64) * voxel_size[None, :]
     rows[:, 0:9] += np.tile(shift_xyz, 3)  # shift the three corner points
@@ -133,7 +133,7 @@ def _halo_table(counts, csr_ranges, tri_ids, record, n_sv, spans, voxel_size):
         np.concatenate(([0], np.cumsum(per_cell)[:-1])), per_cell
     )
     table[entry_cell, slot] = rows
-    return table
+    return table, per_cell.astype(np.int32)
 
 
 def pack_mesh(substrate, scale, dtype, chunk=None):
@@ -180,14 +180,16 @@ def pack_mesh(substrate, scale, dtype, chunk=None):
     # epsilon slack overlaps at most floor(1 / w) + 2 subvoxels per axis.
     spans = tuple(int(math.floor(1.0 / w)) + 2 for w in sv_width)
 
-    halo = _halo_table(
+    halo, halo_counts = _halo_table(
         counts, csr_ranges, tri_ids, record, n_sv, spans, voxel_size
     )
     if halo is not None:
         sv_data = halo
+        cell_counts = halo_counts
         spans = (1, 1, 1)
         K = sv_data.shape[1]
     else:
+        cell_counts = counts.astype(np.int32)
         K = max(int(counts.max()) if counts.size else 0, 1)
         chunk_k, n_chunks, K_pad = _chunking(K, chunk)
         sv_data = np.zeros((n_subvoxels, K_pad, 12), dtype=np.float64)
@@ -206,6 +208,7 @@ def pack_mesh(substrate, scale, dtype, chunk=None):
         tri=jnp.asarray(
             sv_data.reshape(n_subvoxels, n_chunks, chunk, 12), dtype=dtype
         ),
+        cell_counts=jnp.asarray(cell_counts),
         voxel_size=jnp.asarray(voxel_size, dtype=dtype),
         sv_width=jnp.asarray(sv_width, dtype=dtype),
         perm_prob=jnp.asarray(substrate.perm_prob, dtype=dtype),

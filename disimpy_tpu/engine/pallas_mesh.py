@@ -101,27 +101,62 @@ def _mt_tile(spin_rows, tri_cols):
     return d, nx, ny, nz
 
 
-def _kernel(cells_ref, next_ref, spins_ref, table_ref, out_ref, buf, sem):
-    """One tile: walk the cell runs, DMA each run's row, test all lanes."""
+KCHUNK = 128  # triangle records per DMA / compute chunk (one lane tile)
+
+
+def _kernel(cells_ref, next_ref, counts_ref, spins_ref, table_ref, out_ref,
+            buf, sem):
+    """One tile: walk the cell runs; for each run, stream its triangle
+    records in 128-lane chunks (double-buffered DMA) and test all lanes.
+
+    Runs whose cell has no triangles (count 0) skip both DMA and compute,
+    so spins in empty space cost only the loop bookkeeping.
+    """
     lane = lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+    spins = spins_ref[...]
 
-    def cond(state):
-        return state[0] < TILE
-
-    def body(state):
+    def run_body(state):
         i, min_d, nx, ny, nz = state
         c = cells_ref[0, i]
+        count = counts_ref[0, i]
         run_end = jnp.minimum(next_ref[0, i], TILE)
-        copy = pltpu.make_async_copy(table_ref.at[c], buf, sem)
-        copy.start()
-        copy.wait()
-        d, tnx, tny, tnz = _mt_tile(spins_ref[...], buf[...])
-        in_run = (lane >= i) & (lane < run_end)
-        better = in_run & (d < min_d)
-        min_d = jnp.where(better, d, min_d)
-        nx = jnp.where(better, tnx, nx)
-        ny = jnp.where(better, tny, ny)
-        nz = jnp.where(better, tnz, nz)
+        n_chunks = lax.div(count + jnp.int32(KCHUNK - 1), jnp.int32(KCHUNK))
+
+        def dma(j, slot):
+            return pltpu.make_async_copy(
+                table_ref.at[c, :, pl.ds(j * KCHUNK, KCHUNK)],
+                buf.at[slot],
+                sem.at[slot],
+            )
+
+        def compute(state2):
+            @pl.when(n_chunks > 0)
+            def _():
+                dma(0, 0).start()
+
+            def chunk_body(j, st):
+                min_d, nx, ny, nz = st
+                slot = lax.rem(j, jnp.int32(2))
+
+                @pl.when(j + 1 < n_chunks)
+                def _():
+                    dma(j + 1, 1 - slot).start()
+
+                dma(j, slot).wait()
+                d, tnx, tny, tnz = _mt_tile(spins, buf[slot])
+                in_run = (lane >= i) & (lane < run_end)
+                better = in_run & (d < min_d)
+                min_d = jnp.where(better, d, min_d)
+                nx = jnp.where(better, tnx, nx)
+                ny = jnp.where(better, tny, ny)
+                nz = jnp.where(better, tnz, nz)
+                return min_d, nx, ny, nz
+
+            return lax.fori_loop(0, n_chunks, chunk_body, state2)
+
+        min_d, nx, ny, nz = lax.cond(
+            count > 0, compute, lambda s: s, (min_d, nx, ny, nz)
+        )
         return run_end, min_d, nx, ny, nz
 
     init = (
@@ -131,7 +166,9 @@ def _kernel(cells_ref, next_ref, spins_ref, table_ref, out_ref, buf, sem):
         jnp.zeros((1, TILE), jnp.float32),
         jnp.zeros((1, TILE), jnp.float32),
     )
-    _, min_d, nx, ny, nz = lax.while_loop(cond, body, init)
+    _, min_d, nx, ny, nz = lax.while_loop(
+        lambda s: s[0] < TILE, run_body, init
+    )
     out_ref[0, :] = min_d[0]
     out_ref[1, :] = nx[0]
     out_ref[2, :] = ny[0]
@@ -139,21 +176,23 @@ def _kernel(cells_ref, next_ref, spins_ref, table_ref, out_ref, buf, sem):
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def _run_query(cells, next_start, spin_rows, table, interpret=False):
+def _run_query(cells, next_start, counts, spin_rows, table, interpret=False):
     """Launch the tile kernel over the sorted arrays.
 
-    cells, next_start: (n_pad,) int32 (sorted cell id, end of its run).
+    cells, next_start, counts: (n_pad,) int32 (sorted cell id, end of its
+    run, triangle count of its cell).
     spin_rows: (8, n_pad) f32 (sorted spin state, spins in lanes).
-    table: (n_cells, 16, K) f32 triangle records, triangles in lanes.
+    table: (n_cells, 16, K_pad) f32 triangle records, triangles in lanes,
+    K_pad a multiple of 128.
     Returns (4, n_pad): min_d + normal rows, in sorted order.
     """
     n_pad = cells.shape[0]
     n_tiles = n_pad // TILE
-    K = table.shape[2]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_tiles,),
         in_specs=[
+            pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
@@ -161,8 +200,8 @@ def _run_query(cells, next_start, spin_rows, table, interpret=False):
         ],
         out_specs=pl.BlockSpec((4, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((16, K), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 16, KCHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -170,20 +209,25 @@ def _run_query(cells, next_start, spin_rows, table, interpret=False):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((4, n_pad), jnp.float32),
         interpret=interpret,
-    )(cells[None, :], next_start[None, :], spin_rows, table)
+    )(cells[None, :], next_start[None, :], counts[None, :], spin_rows, table)
 
 
 def pallas_table(spec):
     """Re-layout a halo MeshSpec triangle table for the kernel:
-    (n_cells, n_chunks, chunk, 12) -> (n_cells, 16, K) f32 with triangles in
-    the lane dimension and 4 zero pad rows (records are 12 wide)."""
+    (n_cells, n_chunks, chunk, 12) -> (n_cells, 16, K_pad) f32 with
+    triangles in the lane dimension, padded to a multiple of 128 lanes
+    (Mosaic requires DMA slices to be lane-tile aligned) and 4 zero pad
+    rows (records are 12 wide). Padding slots are all-zero degenerate
+    triangles, rejected by the intersection test via det == 0."""
     n_cells = spec.tri.shape[0]
     K = spec.tri.shape[1] * spec.tri.shape[2]
+    K_pad = -(-K // 128) * 128
     flat = spec.tri.reshape(n_cells, K, 12).astype(jnp.float32)
     table = jnp.concatenate(
         (flat, jnp.zeros((n_cells, K, 4), jnp.float32)), axis=2
     )
-    return jnp.transpose(table, (0, 2, 1))  # (n_cells, 16, K)
+    table = jnp.transpose(table, (0, 2, 1))  # (n_cells, 16, K)
+    return jnp.pad(table, ((0, 0), (0, 0), (0, K_pad - K)))
 
 
 def nearest_hit_pallas(spec, r0, direction, rem, table, interpret=False):
@@ -211,8 +255,12 @@ def nearest_hit_pallas(spec, r0, direction, rem, table, interpret=False):
         return jnp.concatenate((x, jnp.full((pad,), value, x.dtype)))
 
     lane_id = jnp.arange(n_pad, dtype=jnp.int32)
+    counts = spec.cell_counts[cell].astype(jnp.int32)  # (n,) tiny gather
+    # Pad lanes get a sentinel cell one past the real range with count 0:
+    # their runs are skipped in the kernel (never DMA'd) and they cannot
+    # interleave with real spins of any cell.
     operands = (
-        pad1(cell, n_cells - 1),
+        pad1(cell, n_cells),
         pad1(shifted_r0[:, 0].astype(jnp.float32), 0.0),
         pad1(shifted_r0[:, 1].astype(jnp.float32), 0.0),
         pad1(shifted_r0[:, 2].astype(jnp.float32), 0.0),
@@ -221,10 +269,12 @@ def nearest_hit_pallas(spec, r0, direction, rem, table, interpret=False):
         pad1(direction[:, 2].astype(jnp.float32), 0.0),
         pad1(rem.astype(jnp.float32), 0.0),
         lane_id,
+        pad1(counts, 0),
     )
     sorted_ops = lax.sort(operands, num_keys=1)
     cells_s = sorted_ops[0]
     lanes_s = sorted_ops[8]
+    counts_s = sorted_ops[9]
     spin_rows = jnp.stack(sorted_ops[1:8] + (sorted_ops[7],), axis=0)
 
     # next_start[i]: first index after i whose cell differs (end of i's run).
@@ -240,7 +290,9 @@ def nearest_hit_pallas(spec, r0, direction, rem, table, interpret=False):
     tile_base = (pos // TILE) * TILE
     next_local = jnp.minimum(next_start - tile_base, TILE).astype(jnp.int32)
 
-    out = _run_query(cells_s, next_local, spin_rows, table, interpret=interpret)
+    out = _run_query(
+        cells_s, next_local, counts_s, spin_rows, table, interpret=interpret
+    )
 
     # Restore walker order with a second sort keyed by the original lane.
     restored = lax.sort(

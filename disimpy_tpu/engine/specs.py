@@ -65,7 +65,7 @@ class EllipsoidSpec:
 
 @partial(
     _register,
-    data_fields=["tri", "voxel_size", "sv_width", "perm_prob"],
+    data_fields=["tri", "cell_counts", "voxel_size", "sv_width", "perm_prob"],
     meta_fields=["n_sv", "spans", "chunk"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -99,6 +99,7 @@ class MeshSpec:
     """
 
     tri: jnp.ndarray
+    cell_counts: jnp.ndarray
     voxel_size: jnp.ndarray
     sv_width: jnp.ndarray
     perm_prob: jnp.ndarray
