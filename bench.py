@@ -28,9 +28,9 @@ def build_substrate(step_l):
         radius, spacing, grid=grid, length=32e-6, n_facets=32, n_segments=25
     )
     voxel = spacing * grid[0]
-    # Subvoxel width just above the step length: a step segment then spans
-    # at most 2 subvoxels per axis (8 candidate subvoxels per bounce).
-    n_sv = max(1, int(voxel / (1.05 * step_l)))
+    # Subvoxel width about twice the step length: segments still span at
+    # most 2 cells per axis while keeping the halo table compact.
+    n_sv = max(1, int(voxel / (2.1 * step_l)))
     substrate = substrates.mesh(
         vertices,
         faces,
@@ -41,19 +41,20 @@ def build_substrate(step_l):
     return substrate, len(faces)
 
 
-def main(n_spins=int(5e5), n_t=500, n_meas=32):
+def main(n_spins=int(5e5), n_t=200, n_meas=32):
     from disimpy_tpu import gradients, simulations
 
     diffusivity = 2e-9
-    dt = 8.3e-5  # step length ~1 um
+    # Step length ~0.4 um — about a quarter of the cylinder radius, the
+    # discretization a real restricted-diffusion study would use.
+    dt = 1.3e-5
     step_l = float(np.sqrt(6 * diffusivity * dt))
     substrate, n_tris = build_substrate(step_l)
     print(f"substrate: {n_tris} triangles, n_sv={substrate.n_sv}", file=sys.stderr)
 
     bvals = np.linspace(1e8, 3e9, n_meas)
     bvecs = np.tile(np.array([[1.0, 0.0, 0.0]]), (n_meas, 1))
-    gradient, g_dt = gradients.pgse(15e-3, dt * n_t - 15e-3, n_t, bvals, bvecs)
-    gradient = gradient * (g_dt / g_dt)  # keep shape; dt fixed below
+    gradient, g_dt = gradients.pgse(1e-3, dt * n_t - 1e-3, n_t, bvals, bvecs)
 
     def run(seed):
         return simulations.simulation(

@@ -38,24 +38,24 @@ TILE = 128  # spins per kernel invocation (one vector lane each)
 _INF = np.float32(np.inf)
 
 
-def _mt_tile(spin_rows, tri_cols):
-    """Moller-Trumbore for TILE spins x K triangles.
+def _mt_block(spin_rows, tri_cols):
+    """Moller-Trumbore for BLOCK spins (sublanes) x K triangles (lanes).
 
-    spin_rows: (8, TILE) rows [x, y, z, dx, dy, dz, rem, unused].
-    tri_cols: (16, K) rows [Ax..Cz (9), nx, ny, nz (3), pad (4)].
+    spin_rows: (BLOCK, 8) rows [x, y, z, dx, dy, dz, rem, unused], one spin
+    per sublane. tri_cols: (16, K) rows [Ax..Cz (9), nx, ny, nz (3), pad].
 
-    Returns (d, nx, ny, nz): (1, TILE) arrays — distance of the closest
+    Returns (d, nx, ny, nz): (BLOCK, 1) arrays — distance of the closest
     strictly-forward hit (inf if none) and its unoriented unit normal.
     """
-    r0 = [spin_rows[i, :][None, :] for i in range(3)]  # (1, TILE) each
-    dirn = [spin_rows[3 + i, :][None, :] for i in range(3)]
-    A = [tri_cols[i, :][:, None] for i in range(3)]  # (K, 1) each
-    B = [tri_cols[3 + i, :][:, None] for i in range(3)]
-    C = [tri_cols[6 + i, :][:, None] for i in range(3)]
+    r0 = [spin_rows[:, i][:, None] for i in range(3)]  # (BLOCK, 1) each
+    dirn = [spin_rows[:, 3 + i][:, None] for i in range(3)]
+    A = [tri_cols[i, :][None, :] for i in range(3)]  # (1, K) each
+    B = [tri_cols[3 + i, :][None, :] for i in range(3)]
+    C = [tri_cols[6 + i, :][None, :] for i in range(3)]
 
-    E1 = [B[i] - A[i] for i in range(3)]
+    E1 = [B[i] - A[i] for i in range(3)]  # (1, K)
     E2 = [C[i] - A[i] for i in range(3)]
-    T = [r0[i] - A[i] for i in range(3)]  # (K, TILE)
+    T = [r0[i] - A[i] for i in range(3)]  # (BLOCK, K)
 
     def cross(a, b):
         return (
@@ -67,7 +67,7 @@ def _mt_tile(spin_rows, tri_cols):
     def dot(a, b):
         return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
 
-    P = cross(dirn, E2)  # (K, TILE)
+    P = cross(dirn, E2)  # (BLOCK, K)
     Q = cross(T, E1)
     det = dot(P, E1)
     inv_det = 1.0 / det
@@ -84,43 +84,55 @@ def _mt_tile(spin_rows, tri_cols):
         & (t > 0)
     )
     t = jnp.where(ok, t, _INF)
-    # Closest hit over triangles (sublane reduction) + its normal.
-    d = jnp.min(t, axis=0, keepdims=True)  # (1, TILE)
+    # Closest hit over triangles (lane reduction) + its normal.
+    d = jnp.min(t, axis=1, keepdims=True)  # (BLOCK, 1)
     is_min = t == d
     # Ties are broken by taking the max normal component-wise among
     # minimizers — with distinct distances (generic case) this selects the
     # unique closest triangle's normal.
     def pick(row):
-        comp = tri_cols[9 + row, :][:, None]  # (K, 1)
-        return jnp.max(jnp.where(is_min, comp, -_INF), axis=0, keepdims=True)
+        comp = tri_cols[9 + row, :][None, :]  # (1, K)
+        return jnp.max(jnp.where(is_min, comp, -_INF), axis=1, keepdims=True)
 
-    hit_any = d[0] != _INF
-    nx = jnp.where(hit_any, pick(0)[0], 0.0)[None, :]
-    ny = jnp.where(hit_any, pick(1)[0], 0.0)[None, :]
-    nz = jnp.where(hit_any, pick(2)[0], 0.0)[None, :]
+    hit_any = d != _INF
+    nx = jnp.where(hit_any, pick(0), 0.0)
+    ny = jnp.where(hit_any, pick(1), 0.0)
+    nz = jnp.where(hit_any, pick(2), 0.0)
     return d, nx, ny, nz
 
 
 KCHUNK = 128  # triangle records per DMA / compute chunk (one lane tile)
+BLOCK = 32  # spins per compute block (sublane group within a tile)
 
 
 def _kernel(cells_ref, next_ref, counts_ref, spins_ref, table_ref, out_ref,
             buf, sem):
     """One tile: walk the cell runs; for each run, stream its triangle
-    records in 128-lane chunks (double-buffered DMA) and test all lanes.
+    records in 128-lane chunks (double-buffered DMA) and test only the
+    32-sublane spin blocks its run overlaps.
 
     Runs whose cell has no triangles (count 0) skip both DMA and compute,
-    so spins in empty space cost only the loop bookkeeping.
+    so spins in empty space cost only the loop bookkeeping. The block
+    decomposition keeps compute near work-optimal when runs are much
+    shorter than the tile (low spins-per-cell density).
     """
-    lane = lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
-    spins = spins_ref[...]
+    out_ref[...] = jnp.concatenate(
+        (
+            jnp.full((TILE, 1), _INF, jnp.float32),
+            jnp.zeros((TILE, 7), jnp.float32),
+        ),
+        axis=1,
+    )
+    row_in_block = lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0)
 
     def run_body(state):
-        i, min_d, nx, ny, nz = state
+        i = state
         c = cells_ref[0, i]
         count = counts_ref[0, i]
         run_end = jnp.minimum(next_ref[0, i], TILE)
         n_chunks = lax.div(count + jnp.int32(KCHUNK - 1), jnp.int32(KCHUNK))
+        b_first = lax.div(i, jnp.int32(BLOCK))
+        b_last = lax.div(run_end - 1, jnp.int32(BLOCK))
 
         def dma(j, slot):
             return pltpu.make_async_copy(
@@ -129,13 +141,11 @@ def _kernel(cells_ref, next_ref, counts_ref, spins_ref, table_ref, out_ref,
                 sem.at[slot],
             )
 
-        def compute(state2):
-            @pl.when(n_chunks > 0)
-            def _():
-                dma(0, 0).start()
+        @pl.when(count > 0)
+        def _():
+            dma(0, 0).start()
 
-            def chunk_body(j, st):
-                min_d, nx, ny, nz = st
+            def chunk_body(j, _):
                 slot = lax.rem(j, jnp.int32(2))
 
                 @pl.when(j + 1 < n_chunks)
@@ -143,36 +153,32 @@ def _kernel(cells_ref, next_ref, counts_ref, spins_ref, table_ref, out_ref,
                     dma(j + 1, 1 - slot).start()
 
                 dma(j, slot).wait()
-                d, tnx, tny, tnz = _mt_tile(spins, buf[slot])
-                in_run = (lane >= i) & (lane < run_end)
-                better = in_run & (d < min_d)
-                min_d = jnp.where(better, d, min_d)
-                nx = jnp.where(better, tnx, nx)
-                ny = jnp.where(better, tny, ny)
-                nz = jnp.where(better, tnz, nz)
-                return min_d, nx, ny, nz
+                tri_cols = buf[slot]
 
-            return lax.fori_loop(0, n_chunks, chunk_body, state2)
+                def block_body(b, _):
+                    start = b * BLOCK
+                    rows = spins_ref[pl.ds(start, BLOCK), :]  # (BLOCK, 8)
+                    d, tnx, tny, tnz = _mt_block(rows, tri_cols)
+                    lane = row_in_block + start
+                    in_run = (lane >= i) & (lane < run_end)
+                    cur = out_ref[pl.ds(start, BLOCK), :]
+                    better = in_run & (d < cur[:, 0:1])
+                    new = jnp.concatenate(
+                        (d, tnx, tny, tnz, cur[:, 4:8]), axis=1
+                    )
+                    out_ref[pl.ds(start, BLOCK), :] = jnp.where(
+                        better, new, cur
+                    )
+                    return 0
 
-        min_d, nx, ny, nz = lax.cond(
-            count > 0, compute, lambda s: s, (min_d, nx, ny, nz)
-        )
-        return run_end, min_d, nx, ny, nz
+                lax.fori_loop(b_first, b_last + 1, block_body, 0)
+                return 0
 
-    init = (
-        jnp.int32(0),
-        jnp.full((1, TILE), _INF, jnp.float32),
-        jnp.zeros((1, TILE), jnp.float32),
-        jnp.zeros((1, TILE), jnp.float32),
-        jnp.zeros((1, TILE), jnp.float32),
-    )
-    _, min_d, nx, ny, nz = lax.while_loop(
-        lambda s: s[0] < TILE, run_body, init
-    )
-    out_ref[0, :] = min_d[0]
-    out_ref[1, :] = nx[0]
-    out_ref[2, :] = ny[0]
-    out_ref[3, :] = nz[0]
+            lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+        return run_end
+
+    lax.while_loop(lambda i: i < TILE, run_body, jnp.int32(0))
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -181,10 +187,10 @@ def _run_query(cells, next_start, counts, spin_rows, table, interpret=False):
 
     cells, next_start, counts: (n_pad,) int32 (sorted cell id, end of its
     run, triangle count of its cell).
-    spin_rows: (8, n_pad) f32 (sorted spin state, spins in lanes).
+    spin_rows: (n_pad, 8) f32 (sorted spin state, one spin per row).
     table: (n_cells, 16, K_pad) f32 triangle records, triangles in lanes,
     K_pad a multiple of 128.
-    Returns (4, n_pad): min_d + normal rows, in sorted order.
+    Returns (n_pad, 8): [min_d, nx, ny, nz, pad x4] rows, in sorted order.
     """
     n_pad = cells.shape[0]
     n_tiles = n_pad // TILE
@@ -195,10 +201,12 @@ def _run_query(cells, next_start, counts, spin_rows, table, interpret=False):
             pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 8), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((4, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (TILE, 8), lambda t: (t, 0), memory_space=pltpu.VMEM
+        ),
         scratch_shapes=[
             pltpu.VMEM((2, 16, KCHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -207,7 +215,7 @@ def _run_query(cells, next_start, counts, spin_rows, table, interpret=False):
     return pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((4, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
         interpret=interpret,
     )(cells[None, :], next_start[None, :], counts[None, :], spin_rows, table)
 
@@ -275,7 +283,7 @@ def nearest_hit_pallas(spec, r0, direction, rem, table, interpret=False):
     cells_s = sorted_ops[0]
     lanes_s = sorted_ops[8]
     counts_s = sorted_ops[9]
-    spin_rows = jnp.stack(sorted_ops[1:8] + (sorted_ops[7],), axis=0)
+    spin_rows = jnp.stack(sorted_ops[1:8] + (sorted_ops[7],), axis=1)
 
     # next_start[i]: first index after i whose cell differs (end of i's run).
     pos = jnp.arange(n_pad, dtype=jnp.int32)
@@ -296,7 +304,7 @@ def nearest_hit_pallas(spec, r0, direction, rem, table, interpret=False):
 
     # Restore walker order with a second sort keyed by the original lane.
     restored = lax.sort(
-        (lanes_s, out[0], out[1], out[2], out[3]), num_keys=1
+        (lanes_s, out[:, 0], out[:, 1], out[:, 2], out[:, 3]), num_keys=1
     )
     min_d = restored[1][:n].astype(dtype)
     normal = jnp.stack(restored[2:5], axis=1)[:n].astype(dtype)

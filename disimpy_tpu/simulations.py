@@ -40,6 +40,7 @@ from .engine.specs import (
 )
 from .gradients import GAMMA
 from .parallel import sharding as par
+from .substrates import _aabb_to_mesh  # noqa: F401  (reference API parity)
 
 __all__ = ["simulation", "add_noise_to_data"]
 
