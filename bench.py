@@ -28,9 +28,11 @@ def build_substrate(step_l):
         radius, spacing, grid=grid, length=32e-6, n_facets=32, n_segments=25
     )
     voxel = spacing * grid[0]
-    # Subvoxel width about twice the step length: segments still span at
-    # most 2 cells per axis while keeping the halo table compact.
-    n_sv = max(1, int(voxel / (2.1 * step_l)))
+    # Subvoxel width ~4 step lengths: coarser cells mean fewer, longer
+    # sorted runs in the Pallas kernel (the scalar run-walk is the
+    # bottleneck at low spin density), at the price of more — cheap,
+    # vectorized — triangle tests per query.
+    n_sv = max(1, int(voxel / (4.2 * step_l)))
     substrate = substrates.mesh(
         vertices,
         faces,
@@ -41,7 +43,7 @@ def build_substrate(step_l):
     return substrate, len(faces)
 
 
-def main(n_spins=int(5e5), n_t=200, n_meas=32):
+def main(n_spins=524288, n_t=150, n_meas=32):
     from disimpy_tpu import gradients, simulations
 
     diffusivity = 2e-9
