@@ -36,3 +36,14 @@ from . import gradients, substrates, simulations, utils
 __version__ = "0.1.0"
 
 __all__ = ["gradients", "substrates", "simulations", "utils", "__version__"]
+
+
+def test(args=()):
+    """Run the test suite (parity shim for the reference's
+    ``disimpy.tests.test_all()``). Requires the repository checkout with
+    its ``tests/`` directory."""
+    import os
+    import pytest
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return pytest.main([os.path.join(repo_root, "tests"), *args])
