@@ -578,7 +578,8 @@ def simulation(
             print(f"\r{np.round(t1 / n_t * 100, 1)}%", end="", flush=True)
         t0 = t1
 
-    phases = np.asarray(phases[:, :n_walkers], dtype=float)
+    # np.array (not asarray): jax arrays alias to read-only buffers
+    phases = np.array(phases[:, :n_walkers], dtype=float)
     iter_exc_np = np.asarray(iter_exc[:n_walkers])
     if np.any(iter_exc_np):
         warnings.warn(
