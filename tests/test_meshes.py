@@ -59,17 +59,30 @@ def test_icosphere_intra_seeding_and_confinement(oracles_dir):
     npt.assert_equal(np.max(radii) < 4e-6 * 1.001, True)
 
 
-def test_float64_mode_matches_float32():
-    gradient = np.zeros((2, 60, 3))
-    gradient[:, 1:30, 0] = 0.05
-    gradient[:, 30:59, 0] = -0.05
-    dt = 1e-3
+def test_float64_mode_physics():
+    # float64 draws a different (f64) threefry stream, so compare against
+    # physics, not against the float32 run: free diffusion follows
+    # exp(-b D) in either precision.
+    n_s = int(1e4)
+    bs = np.linspace(1, 2e9, 10)
+    gradient = np.zeros((1, 100, 3))
+    gradient[0, 1:11, 0] = 1
+    gradient[0, -11:-1, 0] = -1
+    dt = 80e-3 / 99
+    gradient = np.concatenate([gradient for _ in bs], axis=0)
+    gradient, dt = gradients.interpolate_gradient(gradient, dt, 200)
+    gradient = gradients.set_b(gradient, dt, bs)
+    signals = simulations.simulation(
+        n_s, 2e-9, gradient, dt, substrates.free(), quiet=True, dtype="float64"
+    )
+    npt.assert_almost_equal(signals / n_s, np.exp(-bs * 2e-9), 2)
+    # Restricted: sphere signal in f64 agrees with f32 statistically.
     substrate = substrates.sphere(5e-6)
-    s32 = simulations.simulation(
-        400, 2e-9, gradient, dt, substrate, quiet=True, dtype="float32"
-    )
+    g2 = gradient[:3]
     s64 = simulations.simulation(
-        400, 2e-9, gradient, dt, substrate, quiet=True, dtype="float64"
+        n_s, 2e-9, g2, dt, substrate, quiet=True, dtype="float64"
     )
-    # Same seed, same streams: float64 refines, does not change, the result.
-    npt.assert_allclose(s64 / 400, s32 / 400, atol=2e-3)
+    s32 = simulations.simulation(
+        n_s, 2e-9, g2, dt, substrate, quiet=True, dtype="float32"
+    )
+    npt.assert_allclose(s64 / n_s, s32 / n_s, atol=0.04)
