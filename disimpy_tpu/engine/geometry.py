@@ -84,7 +84,7 @@ def line_ellipsoid_intersection(r0, step, semiaxes):
     return (-B + jnp.sqrt(B * B - 4.0 * A * C)) / (2.0 * A)
 
 
-def ray_triangle_intersection(triangles, r0, step):
+def ray_triangle_intersection(triangles, r0, step, edge_tol=0.0):
     """Moller-Trumbore signed ray/triangle intersection distance.
 
     Parameters
@@ -96,6 +96,14 @@ def ray_triangle_intersection(triangles, r0, step):
     step : jnp.ndarray
         Shape (..., 3): ray directions; the returned distance is in units of
         ``|step|``.
+    edge_tol : float, optional
+        Barycentric tolerance: hits with ``u, v in [-edge_tol,
+        1 + edge_tol]`` count. The collision path uses a small positive
+        tolerance in float32 so rounding cannot open a gap along shared
+        triangle edges (a spin "slipping" between two adjacent triangles is
+        a leak); extra near-edge hits only cause a harmless extra
+        reflection. Parity ray-casting (point seeding) uses 0 — a widened
+        band there would double-count shared edges and flip the parity.
 
     Returns
     -------
@@ -119,7 +127,10 @@ def ray_triangle_intersection(triangles, r0, step):
     t = inv_det * dot3(Q, E2)
     u = inv_det * dot3(P, T)
     v = inv_det * dot3(Q, step)
-    ok = (det != 0) & (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1) & (u + v <= 1)
+    lo = -edge_tol
+    hi = 1.0 + edge_tol
+    ok = (det != 0) & (u >= lo) & (u <= hi) & (v >= lo) & (v <= hi)
+    ok = ok & (u + v <= hi)
     return jnp.where(ok, t, jnp.nan)
 
 

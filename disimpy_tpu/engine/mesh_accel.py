@@ -226,7 +226,7 @@ def _slot_offsets(spans):
     return np.stack((ox.ravel(), oy.ravel(), oz.ravel()), axis=1).astype(np.int32)
 
 
-def nearest_hit(mesh: MeshSpec, r0, direction, rem):
+def nearest_hit(mesh: MeshSpec, r0, direction, rem, edge_tol=0.0):
     """Closest triangle intersection along each spin's remaining segment.
 
     Parameters
@@ -239,6 +239,10 @@ def nearest_hit(mesh: MeshSpec, r0, direction, rem):
         (n, 3) unit step directions.
     rem : jnp.ndarray
         (n,) remaining step lengths.
+    edge_tol : float, optional
+        Barycentric edge tolerance for the triangle test (see
+        geometry.ray_triangle_intersection): keeps float32 rounding from
+        opening leak gaps along shared triangle edges.
 
     Returns
     -------
@@ -279,7 +283,8 @@ def nearest_hit(mesh: MeshSpec, r0, direction, rem):
             slab = mesh.tri[sv, c]  # (n, chunk, 12) one contiguous row gather
             tri = slab[..., :9].reshape(slab.shape[0], slab.shape[1], 3, 3)
             t = geometry.ray_triangle_intersection(
-                tri, shifted_r0[:, None, :], direction[:, None, :]
+                tri, shifted_r0[:, None, :], direction[:, None, :],
+                edge_tol=edge_tol,
             )
             t = jnp.where(in_range[:, None] & (t > 0), t, jnp.inf)
             arg = jnp.argmin(t, axis=1)

@@ -35,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 128  # spins per kernel invocation (one vector lane each)
+EDGE_TOL = np.float32(1e-5)  # barycentric leak-proofing tolerance (f32)
 _INF = np.float32(np.inf)
 
 
@@ -74,13 +75,16 @@ def _mt_block(spin_rows, tri_cols):
     t = inv_det * dot(Q, E2)
     u = inv_det * dot(P, T)
     v = inv_det * dot(Q, dirn)
+    # Same barycentric edge tolerance as the XLA path: float32 rounding
+    # must not open leak gaps along shared triangle edges.
+    lo, hi = -EDGE_TOL, 1.0 + EDGE_TOL
     ok = (
         (det != 0)
-        & (u >= 0)
-        & (u <= 1)
-        & (v >= 0)
-        & (v <= 1)
-        & (u + v <= 1)
+        & (u >= lo)
+        & (u <= hi)
+        & (v >= lo)
+        & (v <= hi)
+        & (u + v <= hi)
         & (t > 0)
     )
     t = jnp.where(ok, t, _INF)

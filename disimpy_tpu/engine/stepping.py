@@ -27,7 +27,14 @@ from .specs import CylinderSpec, EllipsoidSpec, FreeSpec, MeshSpec, SphereSpec
 
 def _make_mesh_query(spec, dtype):
     """Pick the nearest-hit implementation for this spec/backend and return
-    a ``query(r0, direction, rem) -> (min_d, normal)`` closure."""
+    a ``query(r0, direction, rem) -> (min_d, normal)`` closure.
+
+    The collision path widens the triangle test by a barycentric tolerance
+    scaled to the dtype's rounding error so adjacent triangles overlap
+    rather than gap: without it, a ~1e-7 relative float32 error lets rare
+    spins slip through shared mesh edges (observed as ~1-per-1e7-spin-steps
+    leaks through closed surfaces)."""
+    edge_tol = 1e-5 if jnp.dtype(dtype) == jnp.float32 else 1e-12
     if config.mesh_query_backend(spec, dtype) == "pallas":
         from . import pallas_mesh
 
@@ -41,7 +48,7 @@ def _make_mesh_query(spec, dtype):
 
         return query
     return lambda r0, direction, rem: mesh_accel.nearest_hit(
-        spec, r0, direction, rem
+        spec, r0, direction, rem, edge_tol=edge_tol
     )
 
 
