@@ -59,6 +59,21 @@ def step_free(positions, key, spec: FreeSpec, epsilon, max_iter):
     return positions + direction, exc
 
 
+def _hit_slack(dtype):
+    """Collision-acceptance slack (step-length units).
+
+    The computed hit distance carries the dtype's rounding error; when a
+    step ends within that error of a surface, ``d`` can come out just past
+    ``rem`` and the un-reflected final move penetrates the wall by up to
+    ~eps(dtype) * |coords|. Accepting hits up to ``rem + slack`` reflects
+    such steps slightly early instead; the residual backward move after the
+    reflection is smaller than the surface offset, so the walker ends
+    strictly inside. The slack (9e-12 m at typical step lengths in float32)
+    is far below any signal tolerance.
+    """
+    return 1e-5 if jnp.dtype(dtype) == jnp.float32 else 1e-12
+
+
 def _bounce_analytic(positions, key, epsilon, max_iter, distance_and_normal):
     """Shared masked bounce loop for the analytic substrates.
 
@@ -68,6 +83,7 @@ def _bounce_analytic(positions, key, epsilon, max_iter, distance_and_normal):
     """
     n = positions.shape[0]
     dtype = positions.dtype
+    slack = _hit_slack(dtype)
     direction = rng.random_unit_steps(key, n, dtype)
     rem = jnp.ones(n, dtype=dtype)
     iters = jnp.zeros(n, dtype=jnp.int32)
@@ -80,7 +96,7 @@ def _bounce_analytic(positions, key, epsilon, max_iter, distance_and_normal):
         r0, direction, rem, iters, active = state
         iters = iters + active
         d, normal = distance_and_normal(r0, direction)
-        hit = active & (d > 0) & (d < rem)
+        hit = active & (d > 0) & (d < rem + slack)
         new_r0, new_dir = geometry.reflect(r0, direction, d, normal, epsilon)
         hit3 = hit[:, None]
         r0 = jnp.where(hit3, new_r0, r0)
@@ -177,13 +193,14 @@ def step_mesh(positions, key, spec: MeshSpec, epsilon, max_iter):
     """
     n = positions.shape[0]
     dtype = positions.dtype
+    slack = _hit_slack(dtype)
     query = _make_mesh_query(spec, dtype)
     direction = rng.random_unit_steps(rng.bounce_key(key, 0), n, dtype)
     rem = jnp.ones(n, dtype=dtype)
 
     # First pass: full-batch query and resolve.
     d, normal = query(positions, direction, rem)
-    hit = d <= rem
+    hit = d <= rem + slack
     u = rng.uniforms(rng.bounce_key(key, 1), n, dtype)
     r0, direction, rem = _resolve_mesh_hits(
         spec, positions, direction, rem, d, normal, hit, u, epsilon
@@ -211,7 +228,7 @@ def step_mesh(positions, key, spec: MeshSpec, epsilon, max_iter):
         rem_s = jnp.where(valid, rem[idx_c], 0.0)
         iters_s = iters[idx_c] + valid
         d, normal = query(r0_s, dir_s, rem_s)
-        hit = valid & (d <= rem_s)
+        hit = valid & (d <= rem_s + slack)
         u = rng.uniforms(rng.bounce_key(key, bounce_idx), capacity, dtype)
         r0_s, dir_s, rem_s = _resolve_mesh_hits(
             spec, r0_s, dir_s, rem_s, d, normal, hit, u, epsilon
