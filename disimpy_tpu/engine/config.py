@@ -20,7 +20,9 @@ def mesh_query_backend(spec, dtype):
         return "xla"
     if use_pallas is True:
         return "pallas" if halo else "xla"
-    on_tpu = jax.default_backend() not in ("cpu",)
+    # Gate on actual TPU platforms: the Mosaic kernel cannot compile for
+    # GPU or other accelerators ("axon" is this image's remote-TPU plugin).
+    on_tpu = jax.default_backend() in ("tpu", "axon")
     if on_tpu and halo and jnp.dtype(dtype) == jnp.float32:
         return "pallas"
     return "xla"

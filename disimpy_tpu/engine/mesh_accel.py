@@ -57,7 +57,8 @@ def _triangle_records(substrate, scale):
     return np.concatenate((tri.reshape(-1, 9), normals), axis=1)  # (n_tris, 12)
 
 
-def _halo_table(counts, csr_ranges, tri_ids, record, n_sv, spans, voxel_size):
+def _halo_table(counts, csr_ranges, tri_ids, record, n_sv, spans, voxel_size,
+                itemsize=4):
     """Per-cell union of all triangle records reachable from a step segment
     whose AABB minimum corner lies in the cell.
 
@@ -123,7 +124,7 @@ def _halo_table(counts, csr_ranges, tri_ids, record, n_sv, spans, voxel_size):
     entry_cell = entry_cell[order]
     per_cell = np.bincount(entry_cell, minlength=n_cells)
     K_halo = max(int(per_cell.max()), 1)
-    if n_cells * K_halo * 12 * 4 > HALO_BYTES_LIMIT:
+    if n_cells * K_halo * 12 * itemsize > HALO_BYTES_LIMIT:
         return None, None
     rows = record[entry_tri[order]].copy()
     shift_xyz = entry_shift[order].astype(np.float64) * voxel_size[None, :]
@@ -181,7 +182,8 @@ def pack_mesh(substrate, scale, dtype, chunk=None):
     spans = tuple(int(math.floor(1.0 / w)) + 2 for w in sv_width)
 
     halo, halo_counts = _halo_table(
-        counts, csr_ranges, tri_ids, record, n_sv, spans, voxel_size
+        counts, csr_ranges, tri_ids, record, n_sv, spans, voxel_size,
+        itemsize=jnp.dtype(dtype).itemsize,
     )
     if halo is not None:
         sv_data = halo

@@ -91,12 +91,19 @@ def _mt_block(spin_rows, tri_cols):
     # Closest hit over triangles (lane reduction) + its normal.
     d = jnp.min(t, axis=1, keepdims=True)  # (BLOCK, 1)
     is_min = t == d
-    # Ties are broken by taking the max normal component-wise among
-    # minimizers — with distinct distances (generic case) this selects the
-    # unique closest triangle's normal.
+    # Ties (two adjacent triangles at the same f32 distance, which the
+    # edge tolerance makes possible on shared-edge hits) are broken by the
+    # lowest lane index among minimizers, so the selected normal is always
+    # one single triangle's normal — never a component-wise mix of two.
+    lane = lax.broadcasted_iota(jnp.int32, t.shape, 1)
+    min_lane = jnp.min(
+        jnp.where(is_min, lane, jnp.int32(t.shape[1])), axis=1, keepdims=True
+    )
+    sel = is_min & (lane == min_lane)
+
     def pick(row):
         comp = tri_cols[9 + row, :][None, :]  # (1, K)
-        return jnp.max(jnp.where(is_min, comp, -_INF), axis=1, keepdims=True)
+        return jnp.sum(jnp.where(sel, comp, 0.0), axis=1, keepdims=True)
 
     hit_any = d != _INF
     nx = jnp.where(hit_any, pick(0), 0.0)

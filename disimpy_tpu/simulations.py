@@ -358,7 +358,7 @@ def _prepare_substrate(substrate, n_walkers, seed, scale, dtype, quiet):
     raise ValueError("Incorrect value (%s) for substrate" % substrate)
 
 
-def _effective_epsilon(epsilon, scale, extent, n_t, dtype):
+def _effective_epsilon(epsilon, scale, extent, n_t, dtype, bounded):
     """Surface-offset magnitude in step-length units.
 
     The user value (metres, reference default 1e-13) is honored, but floored
@@ -367,8 +367,16 @@ def _effective_epsilon(epsilon, scale, extent, n_t, dtype):
     ulp would leave walkers exactly on the surface and re-collide forever.
     The floor is ~1e-5 of the geometry size in float32 — far below the
     reference's signal tolerances — and is no-op in float64.
+
+    For substrates whose coordinates stay within ``extent`` (sphere,
+    ellipsoid, non-periodic mesh) the floor uses the extent only; the
+    ``sqrt(n_t)`` diffusion-growth term applies only when coordinates are
+    unbounded (cylinder axis, periodic mesh), so long bounded simulations
+    don't inflate the offset beyond what rounding actually requires.
     """
-    magnitude = max(float(extent), math.sqrt(n_t) * 3.0, 1.0)
+    magnitude = max(float(extent), 1.0)
+    if not bounded:
+        magnitude = max(magnitude, math.sqrt(n_t) * 3.0)
     floor = 64.0 * float(jnp.finfo(dtype).eps) * magnitude
     return max(float(epsilon) * scale, floor)
 
@@ -513,7 +521,10 @@ def simulation(
         # g . r_lab = g . (A r_frame) = (A^T g) . r_frame
         g_eff = g_eff @ frame_to_lab  # == einsum('tmj,jk->tmk', g_eff, A)
 
-    eps_eff = _effective_epsilon(epsilon, scale, extent, n_t, dtype)
+    bounded = kind in ("sphere", "ellipsoid") or (
+        kind == "mesh" and not substrate.periodic
+    )
+    eps_eff = _effective_epsilon(epsilon, scale, extent, n_t, dtype, bounded)
 
     # --- Device placement / sharding.
     if isinstance(devices, jax.sharding.Mesh):

@@ -57,6 +57,39 @@ def test_pallas_query_matches_xla(sphere_spec):
     npt.assert_allclose(alignment, 1.0, atol=1e-5)
 
 
+def test_equidistant_tie_break_returns_single_triangle_normal():
+    """Two triangles sharing an edge, hit exactly on the edge: both register
+    at the same f32 distance, and the returned normal must be one triangle's
+    normal (a unit vector) — not a component-wise mix of the two."""
+    # Tent over the y-axis ridge with unequal slopes. Normals:
+    # n1 = (-0.6, 0, -0.8), n2 = (-0.8, 0, 0.6). A component-wise max over
+    # minimizers would fabricate (-0.6, 0, 0.6) (norm 0.85).
+    t1 = [0, 0, 0, 0, 1, 0, 1, 0, -0.75]
+    n1 = np.array([-0.6, 0.0, -0.8])
+    t2 = [0, 0, 0, 0, 1, 0, -1, 0, -4.0 / 3.0]
+    n2 = np.array([-0.8, 0.0, 0.6])
+    K = 128
+    tri_cols = np.zeros((16, K), np.float32)
+    tri_cols[:9, 0] = t1
+    tri_cols[9:12, 0] = n1
+    tri_cols[:9, 1] = t2
+    tri_cols[9:12, 1] = n2
+    spin_rows = np.zeros((pallas_mesh.BLOCK, 8), np.float32)
+    # Ray from below the ridge straight up: hits the shared edge at d = 1.
+    spin_rows[0] = [0.0, 0.5, -1.0, 0.0, 0.0, 1.0, 2.0, 0.0]
+    d, nx, ny, nz = pallas_mesh._mt_block(
+        jnp.asarray(spin_rows), jnp.asarray(tri_cols)
+    )
+    d = np.asarray(d)[0, 0]
+    normal = np.array([np.asarray(c)[0, 0] for c in (nx, ny, nz)])
+    npt.assert_allclose(d, 1.0, atol=1e-6)
+    npt.assert_allclose(np.linalg.norm(normal), 1.0, atol=1e-6)
+    assert (
+        np.allclose(np.abs(normal @ n1), 1.0, atol=1e-6)
+        or np.allclose(np.abs(normal @ n2), 1.0, atol=1e-6)
+    ), normal
+
+
 def test_pallas_end_to_end_physics(sphere_spec, oracles_dir):
     substrate, _, _ = sphere_spec
     import pickle
