@@ -10,7 +10,7 @@ structural difference between the CUDA design and the TPU design.
 Phase accrual is the MR physics: after step t each spin gains
 ``phi += GAMMA * dt * g(t) . r(t)`` (reference simulations.py:692-701). With
 positions in step-length units and ``g_eff = GAMMA * dt * step_l * g``, the
-per-step update is the matrix product ``phases += g_eff[t] @ positions.T``,
+per-step update is the matrix product ``phases += g_eff[t] @ positions``,
 an (n_meas, 3) x (3, n_spins) contraction that XLA fuses into the scan body.
 """
 
@@ -48,7 +48,8 @@ def run_window(
     spec : engine.specs pytree
         Substrate geometry in step-length units.
     positions : jnp.ndarray
-        (n_spins, 3) positions in step-length units (substrate frame).
+        (3, n_spins) positions in step-length units (substrate frame);
+        components in rows so the spin axis is the TPU lane dimension.
     phases : jnp.ndarray
         (n_meas, n_spins) accumulated phases (rad).
     iter_exc : jnp.ndarray
@@ -73,7 +74,7 @@ def run_window(
     Returns
     -------
     (positions, phases, iter_exc), trajectory
-        Updated state; ``trajectory`` is (len(ts), n_spins, 3) when
+        Updated state; ``trajectory`` is (len(ts), 3, n_spins) when
         ``collect_positions`` else None.
     """
     step_fn = STEP_FUNCTIONS[kind]
@@ -85,7 +86,7 @@ def run_window(
         positions, exc_t = step_fn(positions, step_k, spec, epsilon, max_iter)
         phases = phases + lax.dot(
             g_t.astype(positions.dtype),
-            positions.T,
+            positions,
             preferred_element_type=phases.dtype,
         )
         iter_exc = iter_exc | exc_t
@@ -96,12 +97,24 @@ def run_window(
     return carry, trajectory
 
 
-@jax.jit
-def reduce_signal(phases, iter_exc):
+@partial(jax.jit, static_argnames=("n_valid",))
+def reduce_signal(phases, iter_exc, n_valid=None):
     """Total signal per measurement: ``Re sum_spins exp(i phi)``, excluding
-    iteration-budget-exceeded spins (reference simulations.py:1413-1421)."""
+    iteration-budget-exceeded spins (reference simulations.py:1413-1421).
+
+    Runs on device so the driver fetches n_meas floats instead of the full
+    (n_meas, n_spins) phase matrix — host<->device bandwidth, not compute,
+    dominated the round-1 driver. ``n_valid`` masks out sharding-padding
+    spins (a mask, not a slice, so sharded arrays stay sharded and the
+    reduction lowers to one psum).
+    """
     cos = jnp.cos(phases)
-    return jnp.sum(jnp.where(iter_exc[None, :], 0.0, cos), axis=1)
+    excluded = iter_exc[None, :]
+    if n_valid is not None:
+        excluded = excluded | (
+            jnp.arange(phases.shape[1])[None, :] >= n_valid
+        )
+    return jnp.sum(jnp.where(excluded, 0.0, cos), axis=1)
 
 
 @jax.jit

@@ -134,6 +134,50 @@ def ray_triangle_intersection(triangles, r0, step, edge_tol=0.0):
     return jnp.where(ok, t, jnp.nan)
 
 
+# ---------------------------------------------------------------------------
+# Row-layout variants: vectors as (3, n) arrays (components in sublanes, the
+# spin axis in lanes). This is the engine's hot-path layout — a (n, 3) array
+# puts the 3-wide axis in the 128-wide lane dimension and wastes 125/128 of
+# every vector op, which is what capped the round-1 free path at ~2e8
+# spin-steps/s.
+# ---------------------------------------------------------------------------
+
+
+def dot_rows(a, b):
+    """Dot product of (3, n) vector bundles -> (n,)."""
+    return jnp.sum(a * b, axis=0)
+
+
+def normalize_rows(v):
+    """Scale (3, n) columns to unit length."""
+    return v / jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+
+
+def reflect_rows(r0, step, d, normal, epsilon):
+    """Row-layout specular reflection (see :func:`reflect`).
+
+    All vector arguments are (3, n); ``d`` is (n,). Returns updated
+    ``(r0, step)`` as (3, n).
+    """
+    v = d[None, :] * step
+    intersection = r0 + v
+    dp = jnp.sum(v * normal, axis=0, keepdims=True)
+    normal = jnp.where(dp > 0, -normal, normal)
+    dp = -jnp.abs(dp)
+    new_step = normalize_rows(v - 2.0 * dp * normal)
+    new_r0 = intersection + epsilon * normal
+    return new_r0, new_step
+
+
+def crossing_rows(r0, step, d, normal, epsilon):
+    """Row-layout permeable crossing (see :func:`crossing`)."""
+    v = d[None, :] * step
+    intersection = r0 + v
+    dp = jnp.sum(v * normal, axis=0, keepdims=True)
+    normal = jnp.where(dp < 0, -normal, normal)
+    return intersection + epsilon * normal
+
+
 def reflect(r0, step, d, normal, epsilon):
     """Specular reflection of a step at a surface hit.
 

@@ -7,6 +7,7 @@ stateless, replay-safe, and partitionable across device meshes (the same
 seed yields the same physics on 1 chip or 256).
 """
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -24,17 +25,31 @@ def bounce_key(step_k, bounce_idx):
 def random_unit_steps(key, n, dtype):
     """Draw ``n`` isotropically distributed unit step directions.
 
-    Matches the reference's distribution (3 standard normals, normalized;
+    Matches the reference's distribution (a uniform point on the unit
+    sphere; the reference normalizes 3 standard normals,
     disimpy/simulations.py:121-138) without matching its RNG stream — no
     test or oracle depends on the exact stream, only on the distribution.
+    Sampled via Archimedes' theorem (z uniform in [-1, 1], uniform
+    azimuth): 2 uniforms and one sincos instead of 3 gaussians (each an
+    erfinv) and a normalization — the cheap path on a TPU vector unit.
+
+    The two uniforms are drawn as separate (n,) arrays from two folded
+    keys — NOT one (2, n) array — so spin i's draws depend only on
+    (key, i): a (2, n) draw would give row 1's element i the flat counter
+    n + i, making every spin's azimuth depend on the ensemble size (and
+    the sharded runs' spin padding would silently change the physics).
 
     Returns
     -------
-    jnp.ndarray of shape (n, 3), unit rows.
+    jnp.ndarray of shape (3, n): unit columns, components in rows so the
+    spin axis is the (128-wide) lane dimension.
     """
-    v = jax.random.normal(key, (n, 3), dtype=dtype)
-    norm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
-    return v / norm
+    u0 = jax.random.uniform(jax.random.fold_in(key, 0), (n,), dtype=dtype)
+    u1 = jax.random.uniform(jax.random.fold_in(key, 1), (n,), dtype=dtype)
+    z = 1.0 - 2.0 * u0
+    rho = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = (2.0 * np.pi) * u1
+    return jnp.stack((rho * jnp.cos(phi), rho * jnp.sin(phi), z))
 
 
 def uniforms(key, n, dtype):

@@ -5,6 +5,11 @@ unit length (the engine works in step-length units): draw an isotropic unit
 direction per spin, resolve surface collisions, return new positions plus a
 per-spin flag for spins that exhausted the collision-iteration budget.
 
+State layout: positions and directions are (3, n) arrays — components in
+rows, the spin axis in the TPU's 128-wide lane dimension. The (n, 3) layout
+the reference uses (one walker per CUDA thread) would put the 3-wide axis in
+lanes and waste 125/128 of every vector op on TPU.
+
 The reference resolves collisions with a per-thread ``while`` loop
 (disimpy/simulations.py:705-1013). Here the loop is a *batched*
 ``lax.while_loop``: the body updates every spin with masked selects and the
@@ -27,7 +32,8 @@ from .specs import CylinderSpec, EllipsoidSpec, FreeSpec, MeshSpec, SphereSpec
 
 def _make_mesh_query(spec, dtype):
     """Pick the nearest-hit implementation for this spec/backend and return
-    a ``query(r0, direction, rem) -> (min_d, normal)`` closure.
+    a ``query(r0, direction, rem) -> (min_d, normal)`` closure operating on
+    (n, 3) arrays (the mesh query's internal layout).
 
     The collision path widens the triangle test by a barycentric tolerance
     scaled to the dtype's rounding error so adjacent triangles overlap
@@ -54,8 +60,8 @@ def _make_mesh_query(spec, dtype):
 
 def step_free(positions, key, spec: FreeSpec, epsilon, max_iter):
     """Free diffusion: unit step, no collisions (reference :682-702)."""
-    direction = rng.random_unit_steps(key, positions.shape[0], positions.dtype)
-    exc = jnp.zeros(positions.shape[0], dtype=bool)
+    direction = rng.random_unit_steps(key, positions.shape[1], positions.dtype)
+    exc = jnp.zeros(positions.shape[1], dtype=bool)
     return positions + direction, exc
 
 
@@ -77,11 +83,11 @@ def _hit_slack(dtype):
 def _bounce_analytic(positions, key, epsilon, max_iter, distance_and_normal):
     """Shared masked bounce loop for the analytic substrates.
 
-    ``distance_and_normal(r0, direction) -> (d, normal)`` returns the
-    distance to the surface along the direction and the inward surface
-    normal at the hit point.
+    ``distance_and_normal(r0, direction) -> (d, normal)`` returns the (n,)
+    distance to the surface along the direction and the (3, n) inward
+    surface normal at the hit point.
     """
-    n = positions.shape[0]
+    n = positions.shape[1]
     dtype = positions.dtype
     slack = _hit_slack(dtype)
     direction = rng.random_unit_steps(key, n, dtype)
@@ -97,8 +103,8 @@ def _bounce_analytic(positions, key, epsilon, max_iter, distance_and_normal):
         iters = iters + active
         d, normal = distance_and_normal(r0, direction)
         hit = active & (d > 0) & (d < rem + slack)
-        new_r0, new_dir = geometry.reflect(r0, direction, d, normal, epsilon)
-        hit3 = hit[:, None]
+        new_r0, new_dir = geometry.reflect_rows(r0, direction, d, normal, epsilon)
+        hit3 = hit[None, :]
         r0 = jnp.where(hit3, new_r0, r0)
         direction = jnp.where(hit3, new_dir, direction)
         rem = jnp.where(hit, rem - (d + epsilon), rem)
@@ -108,15 +114,16 @@ def _bounce_analytic(positions, key, epsilon, max_iter, distance_and_normal):
     state = (positions, direction, rem, iters, active)
     r0, direction, rem, iters, _ = lax.while_loop(cond, body, state)
     exc = iters >= max_iter
-    return r0 + direction * rem[:, None], exc
+    return r0 + direction * rem[None, :], exc
 
 
 def step_sphere(positions, key, spec: SphereSpec, epsilon, max_iter):
     """Diffusion inside a sphere (reference :705-756)."""
 
     def distance_and_normal(r0, direction):
-        d = geometry.line_sphere_intersection(r0, direction, spec.radius)
-        normal = geometry.normalize(-(r0 + d[:, None] * direction))
+        dp = geometry.dot_rows(direction, r0)
+        d = -dp + jnp.sqrt(dp * dp - (geometry.dot_rows(r0, r0) - spec.radius**2))
+        normal = geometry.normalize_rows(-(r0 + d[None, :] * direction))
         return d, normal
 
     return _bounce_analytic(positions, key, epsilon, max_iter, distance_and_normal)
@@ -130,14 +137,14 @@ def step_cylinder(positions, key, spec: CylinderSpec, epsilon, max_iter):
     """
 
     def distance_and_normal(r0, direction):
-        d = geometry.line_circle_intersection(
-            r0[:, 1:3], direction[:, 1:3], spec.radius
-        )
-        hit_yz = -(r0[:, 1:3] + d[:, None] * direction[:, 1:3])
-        normal = jnp.concatenate(
-            (jnp.zeros_like(d)[:, None], hit_yz), axis=1
-        )
-        return d, geometry.normalize(normal)
+        ryz, dyz = r0[1:3], direction[1:3]
+        A = jnp.sum(dyz * dyz, axis=0)
+        B = 2.0 * jnp.sum(ryz * dyz, axis=0)
+        C = jnp.sum(ryz * ryz, axis=0) - spec.radius**2
+        d = (-B + jnp.sqrt(B * B - 4.0 * A * C)) / (2.0 * A)
+        hit_yz = -(ryz + d[None, :] * dyz)
+        normal = jnp.concatenate((jnp.zeros((1, d.shape[0]), r0.dtype), hit_yz))
+        return d, geometry.normalize_rows(normal)
 
     return _bounce_analytic(positions, key, epsilon, max_iter, distance_and_normal)
 
@@ -149,15 +156,20 @@ def step_ellipsoid(positions, key, spec: EllipsoidSpec, epsilon, max_iter):
     """
 
     def distance_and_normal(r0, direction):
-        d = geometry.line_ellipsoid_intersection(r0, direction, spec.semiaxes)
-        normal = -(r0 + d[:, None] * direction) / (spec.semiaxes**2)
-        return d, geometry.normalize(normal)
+        inv2 = (1.0 / (spec.semiaxes * spec.semiaxes))[:, None]
+        A = jnp.sum(direction * direction * inv2, axis=0)
+        B = 2.0 * jnp.sum(direction * r0 * inv2, axis=0)
+        C = jnp.sum(r0 * r0 * inv2, axis=0) - 1.0
+        d = (-B + jnp.sqrt(B * B - 4.0 * A * C)) / (2.0 * A)
+        normal = -(r0 + d[None, :] * direction) * inv2
+        return d, geometry.normalize_rows(normal)
 
     return _bounce_analytic(positions, key, epsilon, max_iter, distance_and_normal)
 
 
 def _resolve_mesh_hits(spec, r0, direction, rem, d, normal, hit, u, epsilon):
-    """Apply reflect-or-cross to the spins flagged ``hit``.
+    """Apply reflect-or-cross to the spins flagged ``hit`` ((n, 3) layout —
+    the mesh query's internal orientation).
 
     The crossing decision uses a strict ``u < perm_prob`` so that
     ``perm_prob = 0`` is exactly impermeable for every possible uniform
@@ -190,12 +202,16 @@ def step_mesh(positions, key, spec: MeshSpec, epsilon, max_iter):
     fixed-capacity *compacted* buffer of still-active spins. This avoids the
     reference pattern (and a naive batched port) of paying a full-ensemble
     traversal per bounce iteration when 90% of lanes are idle.
+
+    The query/bounce machinery works in the (n, 3) layout the acceleration
+    tables are built for; positions transpose at entry/exit.
     """
-    n = positions.shape[0]
+    n = positions.shape[1]
     dtype = positions.dtype
     slack = _hit_slack(dtype)
     query = _make_mesh_query(spec, dtype)
-    direction = rng.random_unit_steps(rng.bounce_key(key, 0), n, dtype)
+    direction = rng.random_unit_steps(rng.bounce_key(key, 0), n, dtype).T
+    positions = positions.T
     rem = jnp.ones(n, dtype=dtype)
 
     # First pass: full-batch query and resolve.
@@ -245,7 +261,7 @@ def step_mesh(positions, key, spec: MeshSpec, epsilon, max_iter):
     state = (r0, direction, rem, iters, active, jnp.asarray(2, jnp.int32))
     r0, direction, rem, iters, _, _ = lax.while_loop(cond, body, state)
     exc = iters >= max_iter
-    return r0 + direction * rem[:, None], exc
+    return (r0 + direction * rem[:, None]).T, exc
 
 
 STEP_FUNCTIONS = {

@@ -53,11 +53,11 @@ def padded_spin_count(n_spins, mesh):
 def shard_simulation_arrays(mesh, positions, phases, iter_exc):
     """Place the spin-axis state arrays onto the mesh.
 
-    ``positions`` is (n_spins, 3), ``phases`` is (n_meas, n_spins),
+    ``positions`` is (3, n_spins), ``phases`` is (n_meas, n_spins),
     ``iter_exc`` is (n_spins,); n_spins must be a multiple of the mesh size
     (use :func:`padded_spin_count`).
     """
-    positions = jax.device_put(positions, NamedSharding(mesh, P(SPIN_AXIS, None)))
+    positions = jax.device_put(positions, NamedSharding(mesh, P(None, SPIN_AXIS)))
     phases = jax.device_put(phases, NamedSharding(mesh, P(None, SPIN_AXIS)))
     iter_exc = jax.device_put(iter_exc, NamedSharding(mesh, P(SPIN_AXIS)))
     return positions, phases, iter_exc

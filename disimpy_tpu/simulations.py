@@ -538,7 +538,8 @@ def simulation(
         pad = np.repeat(positions_np[:1], n_padded - n_walkers, axis=0)
         positions_np = np.concatenate((positions_np, pad), axis=0)
 
-    positions = jnp.asarray(positions_np, dtype=dtype)
+    # Engine layout: (3, n) — components in rows, spins in the lane axis.
+    positions = jnp.asarray(positions_np.T, dtype=dtype)
     phases = jnp.zeros((n_meas, n_padded), dtype=dtype)
     iter_exc = jnp.zeros(n_padded, dtype=bool)
     g_eff_dev = jnp.asarray(g_eff, dtype=dtype)
@@ -553,13 +554,14 @@ def simulation(
     max_iter_dev = jnp.asarray(max_iter, dtype=jnp.int32)
 
     def to_lab(pos_scaled):
-        pos = np.asarray(pos_scaled, dtype=float) * step_l
+        """(3, n) engine positions -> (n, 3) lab-frame positions (metres)."""
+        pos = np.asarray(pos_scaled, dtype=float).T * step_l
         if frame_to_lab is not None:
             pos = pos @ frame_to_lab.T
         return pos
 
     if traj:
-        _write_traj(traj, "w", to_lab(positions[:n_walkers]))
+        _write_traj(traj, "w", to_lab(positions[:, :n_walkers]))
         # Windowed execution keeps the collected-trajectory buffer bounded.
         window = max(1, min(n_t, int(3e7) // max(3 * n_padded, 1)))
     else:
@@ -584,27 +586,35 @@ def simulation(
         if traj:
             collected = np.asarray(collected)
             for step_positions in collected:
-                _write_traj(traj, "a", to_lab(step_positions[:n_walkers]))
+                _write_traj(traj, "a", to_lab(step_positions[:, :n_walkers]))
         if not quiet and n_t > window:
             print(f"\r{np.round(t1 / n_t * 100, 1)}%", end="", flush=True)
         t0 = t1
 
-    # np.array (not asarray): jax arrays alias to read-only buffers
-    phases = np.array(phases[:, :n_walkers], dtype=float)
-    iter_exc_np = np.asarray(iter_exc[:n_walkers])
-    if np.any(iter_exc_np):
+    # Signal reduction happens on device: fetching the full (n_meas, n)
+    # phase matrix through the host link costs seconds at production spin
+    # counts, while the reduced signal is n_meas floats. The full matrix is
+    # fetched only for ``all_signals`` (whose contract is per-walker data)
+    # and the exceeded-walker indices only when any walker overflowed.
+    if bool(np.asarray(jnp.any(iter_exc[:n_walkers]))):
+        iter_exc_np = np.asarray(iter_exc[:n_walkers])
         warnings.warn(
             "Maximum number of iterations was exceeded in the intersection "
             + "check algorithm for walkers %s" % np.where(iter_exc_np)[0]
         )
 
-    phases[:, np.where(iter_exc_np)[0]] = np.nan
     if all_signals:
-        signals = np.real(np.exp(1j * phases))
+        # np.array (not asarray): jax arrays alias to read-only buffers
+        phases_np = np.array(phases[:, :n_walkers], dtype=float)
+        phases_np[:, np.asarray(iter_exc[:n_walkers])] = np.nan
+        signals = np.real(np.exp(1j * phases_np))
     else:
-        signals = np.real(np.nansum(np.exp(1j * phases), axis=1))
+        signals = np.asarray(
+            engine_core.reduce_signal(phases, iter_exc, n_valid=n_walkers),
+            dtype=float,
+        )
     if not quiet:
         print("\rSimulation finished")
     if final_pos:
-        return signals, to_lab(positions[:n_walkers])
+        return signals, to_lab(positions[:, :n_walkers])
     return signals

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import numpy.testing as npt
-from scipy.stats import normaltest
+from scipy.stats import kstest
 
 from disimpy_tpu.engine import geometry, rng
 
@@ -133,7 +133,11 @@ def test_crossing_oracle():
 def test_random_unit_steps_distribution():
     # Reference statistical requirements (test_simulations.py:112-139):
     # same seed -> identical steps; different seed -> different; unit norms;
-    # near-zero mean; normally distributed components.
+    # near-zero mean; isotropic directions. The reference checks that its
+    # *gaussian draws* are normal — here the sampler is Archimedes'
+    # (z uniform, uniform azimuth), so the equivalent distributional check
+    # is that every component is marginally uniform on [-1, 1] (which is
+    # exactly the marginal law of a uniform unit vector's components).
     n = int(1e5)
     steps_a = np.asarray(
         rng.random_unit_steps(jax.random.PRNGKey(1), n, jnp.float32)
@@ -144,16 +148,14 @@ def test_random_unit_steps_distribution():
     steps_c = np.asarray(
         rng.random_unit_steps(jax.random.PRNGKey(12), n, jnp.float32)
     )
+    assert steps_a.shape == (3, n)
     npt.assert_equal(steps_a, steps_b)
     npt.assert_equal(np.all(steps_a != steps_c), True)
-    npt.assert_almost_equal(np.abs(np.mean(steps_a, axis=0)).max(), 0, 2)
-    npt.assert_almost_equal(np.linalg.norm(steps_a, axis=1), np.ones(n), 6)
-    # Components of uniformly distributed unit vectors are NOT normal; the
-    # underlying gaussian draws are what the reference tests. Check that the
-    # unnormalized draws are normal instead.
-    raw = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (n,), jnp.float32))
-    _, p = normaltest(raw)
-    assert p > 1e-3
+    npt.assert_almost_equal(np.abs(np.mean(steps_a, axis=1)).max(), 0, 2)
+    npt.assert_almost_equal(np.linalg.norm(steps_a, axis=0), np.ones(n), 6)
+    for comp in steps_a:
+        _, p = kstest(comp, "uniform", args=(-1, 2))
+        assert p > 1e-3
 
 
 def test_rng_keys_distinct_across_steps_and_bounces():
