@@ -1,18 +1,35 @@
 """Engine runtime configuration.
 
-``use_pallas``: None (auto — use the Pallas sorted-run mesh kernel on TPU
+``use_pallas``: None (auto — use the Pallas sorted-run mesh query on TPU
 backends when the substrate has a halo-layout grid and the engine runs in
 float32), True (force, e.g. with ``pallas_interpret`` for CPU testing), or
-False (always use the XLA gather-based query).
+False (always use the XLA gather-based query). Applies to the *classic*
+per-bounce mesh path.
+
+``use_fused``: None (auto — use the fused-step mesh engine on TPU backends
+in float32 when no trajectory output is requested), True (force; combine
+with ``pallas_interpret`` on CPU), or False (always use the classic path).
+
+``fused_resort_every``: epoch length J of the fused engine (steps between
+spin re-sorts; the packed table's dilation depth). 1..engine.fused.MAX_J.
 """
 
 use_pallas = None
 pallas_interpret = False
+use_fused = None
+fused_resort_every = 4
+
+
+def _on_tpu():
+    import jax
+
+    # Gate on actual TPU platforms: the Mosaic kernels cannot compile for
+    # GPU or other accelerators ("axon" is this image's remote-TPU plugin).
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def mesh_query_backend(spec, dtype):
-    """Resolve which nearest-hit implementation to use."""
-    import jax
+    """Resolve which nearest-hit implementation the classic path uses."""
     import jax.numpy as jnp
 
     halo = tuple(spec.spans) == (1, 1, 1)
@@ -20,9 +37,24 @@ def mesh_query_backend(spec, dtype):
         return "xla"
     if use_pallas is True:
         return "pallas" if halo else "xla"
-    # Gate on actual TPU platforms: the Mosaic kernel cannot compile for
-    # GPU or other accelerators ("axon" is this image's remote-TPU plugin).
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-    if on_tpu and halo and jnp.dtype(dtype) == jnp.float32:
+    if _on_tpu() and halo and jnp.dtype(dtype) == jnp.float32:
         return "pallas"
     return "xla"
+
+
+def mesh_engine(dtype, needs_traj, sharded):
+    """Resolve the mesh stepping engine: "fused" or "classic".
+
+    The fused engine requires float32, runs without per-step trajectory
+    output, and (for now) a single device — the classic path covers the
+    rest.
+    """
+    import jax.numpy as jnp
+
+    if needs_traj or jnp.dtype(dtype) != jnp.float32 or sharded:
+        return "classic"
+    if use_fused is False:
+        return "classic"
+    if use_fused is True:
+        return "fused"
+    return "fused" if _on_tpu() else "classic"

@@ -1,0 +1,618 @@
+"""Fused-step mesh engine: anchor-keyed sorted runs + multi-bounce kernel.
+
+Round-1 resolved each bounce with a full XLA round trip (sort, compact,
+query, scatter) costing ~14 x 24 ms of fixed overhead per time step. This
+module restructures the mesh hot path around three ideas:
+
+1. **Anchor-keyed epochs.** Spins are sorted by grid cell once per
+   ``resort_every`` (J) steps. The sort key is the *anchor* cell (the cell
+   at sort time), so runs stay exactly contiguous for the whole epoch —
+   re-keying by current cell would shatter the runs after a single step
+   (measured: ~70-100 runs per 128-spin tile after one un-resorted step).
+   Correctness comes from dilation: a cell's candidate row holds every
+   triangle reachable within ``s + 1`` steps of the cell for step ``s`` of
+   the epoch (a spin ``s`` steps after the sort has drifted at most ``s``
+   steps from its anchor cell, and its next step's bounce segments extend
+   at most 1 + epsilon further).
+
+2. **Distance-ordered rows.** Each cell's candidate triangles are stored
+   nearest-first, with per-step chunk counts (6 bits per step, packed into
+   one int32): step 0 streams only the triangles within 1 step of the
+   cell, step J-1 the full dilation. Early epoch steps — the common case —
+   do a fraction of the worst-case work.
+
+3. **One kernel per step, all bounces inside** (pallas_fused.py): the
+   kernel draws per-spin directions and permeability uniforms from a
+   counter-based threefry keyed by the spin's carried global id (krng.py),
+   so physics is independent of sort order, padding, and sharding.
+
+The phase accumulators ride the epoch sort as payload (order changes only
+at epoch boundaries); positions, ids and the iter_exc flag ride alongside.
+Signal reduction is order-independent, so nothing is unsorted until the
+window ends.
+
+Reference behavior matched: disimpy/simulations.py:878-1013 (_cuda_step_mesh
+resolves all of a walker's bounces locally in one kernel launch — the
+fused kernel restores exactly that locality under a data-parallel layout).
+"""
+
+import dataclasses
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import krng
+from .specs import _register
+
+# Per-step chunk-count bit width and the maximum epoch length it allows.
+BITS = 6
+MAX_J = 5
+# Max chunks per cell row: the kernel's per-run VMEM arena size. Configs
+# needing more fall through to a coarser epoch / finer grid (or, at the
+# driver level, to the classic path).
+CH_MAX = 32
+TABLE_BYTES_LIMIT = int(1.5e9)
+
+
+@partial(
+    _register,
+    data_fields=["table", "cell_start", "cell_packed", "voxel_size",
+                 "sv_width", "perm_prob"],
+    meta_fields=["n_sv", "resort_every", "seed_salt"],
+)
+@dataclasses.dataclass(frozen=True)
+class FusedMeshSpec:
+    """Mesh acceleration structure for the fused-step kernel.
+
+    Attributes
+    ----------
+    table : jnp.ndarray
+        (total_chunks, 16, 128) float32. Chunk rows 0-8 hold A, E1, E2
+        (first corner and the two edges, step-length units, pre-shifted by
+        the periodic image offset); rows 9-11 the unit normal; rows 12-15
+        zero padding. Triangles occupy lanes; all-zero padding lanes are
+        rejected by the intersection test (det == 0).
+    cell_start : jnp.ndarray
+        (n_cells,) int32: first chunk index of each cell's row.
+    cell_packed : jnp.ndarray
+        (n_cells,) int32: per-step chunk counts, BITS bits per epoch step
+        (step s count = (packed >> (BITS*s)) & (2**BITS - 1)).
+    voxel_size, sv_width : jnp.ndarray
+        (3,) voxel extent / cell width (step-length units).
+    perm_prob : jnp.ndarray
+        Scalar transmission probability per collision.
+    n_sv : tuple[int, int, int]
+        Static cell counts.
+    resort_every : int
+        Epoch length J (steps between sorts); also the dilation depth the
+        table was built for.
+    seed_salt : int
+        Mixed into the in-kernel RNG key so mesh draws are independent of
+        the host-level threefry streams.
+    """
+
+    table: jnp.ndarray
+    cell_start: jnp.ndarray
+    cell_packed: jnp.ndarray
+    voxel_size: jnp.ndarray
+    sv_width: jnp.ndarray
+    perm_prob: jnp.ndarray
+    n_sv: tuple
+    resort_every: int
+    seed_salt: int
+
+
+# ---------------------------------------------------------------------------
+# Packing
+# ---------------------------------------------------------------------------
+
+
+def _dilations(resort_every):
+    """Dilation radius (step-length units) covering epoch step s.
+
+    A spin is at most s steps from its anchor cell when step s starts and
+    its bounce segments extend at most one more step; the 3% + 0.1 margin
+    absorbs the per-bounce epsilon offsets and float32 rounding.
+    """
+    return [(s + 1) * 1.03 + 0.1 for s in range(resort_every)]
+
+
+def _candidate_pairs(tri_aabb_min, tri_aabb_max, n_sv, sv_width, voxel_size,
+                     dilation, periodic):
+    """(triangle, periodic shift, cell) candidates by AABB overlap.
+
+    Returns int arrays (tri_idx, shift (k, 3), cell_idx) for every pair
+    whose AABBs overlap at the maximum dilation.
+    """
+    n_sv = np.asarray(n_sv)
+    tris = []
+    shifts = []
+    cells = []
+    if periodic:
+        s_max = [1 + int(math.floor(dilation / voxel_size[a])) for a in range(3)]
+        ranges = [np.arange(-s_max[a], s_max[a] + 1) for a in range(3)]
+    else:
+        ranges = [np.array([0])] * 3
+    for sx in ranges[0]:
+        for sy in ranges[1]:
+            for sz in ranges[2]:
+                shift = np.array([sx, sy, sz], dtype=np.float64) * voxel_size
+                lo = tri_aabb_min + shift - dilation
+                hi = tri_aabb_max + shift + dilation
+                # Shifted triangle must reach into the voxel at all.
+                ok = np.all(lo < voxel_size, axis=1) & np.all(hi > 0, axis=1)
+                idx = np.nonzero(ok)[0]
+                if idx.size == 0:
+                    continue
+                lo_c = np.clip(
+                    np.floor(lo[idx] / sv_width).astype(np.int64), 0, n_sv - 1
+                )
+                hi_c = np.clip(
+                    np.floor(hi[idx] / sv_width).astype(np.int64), 0, n_sv - 1
+                )
+                spans = hi_c - lo_c + 1
+                count = spans.prod(axis=1)
+                total = int(count.sum())
+                rep = np.repeat(np.arange(idx.size), count)
+                local = np.arange(total) - np.repeat(
+                    np.concatenate(([0], np.cumsum(count)[:-1])), count
+                )
+                sy_z = spans[rep, 1] * spans[rep, 2]
+                cx = lo_c[rep, 0] + local // sy_z
+                rem = local % sy_z
+                cy = lo_c[rep, 1] + rem // spans[rep, 2]
+                cz = lo_c[rep, 2] + rem % spans[rep, 2]
+                cell = (cx * n_sv[1] + cy) * n_sv[2] + cz
+                tris.append(idx[rep])
+                shifts.append(np.broadcast_to(
+                    np.array([sx, sy, sz]), (total, 3)).copy())
+                cells.append(cell)
+    if not tris:
+        z = np.zeros(0, dtype=np.int64)
+        return z, np.zeros((0, 3), dtype=np.int64), z
+    return (
+        np.concatenate(tris),
+        np.concatenate(shifts, axis=0),
+        np.concatenate(cells),
+    )
+
+
+# Host-side caps for the packing search: skip grid configurations whose
+# AABB-level (triangle, cell) pair count would blow pack time / RAM.
+PAIR_LIMIT = int(15e6)
+
+
+def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
+               bytes_limit=TABLE_BYTES_LIMIT, seed_salt=0x6D657368,
+               quiet=True, cache_path=None):
+    """Build a :class:`FusedMeshSpec` from a host-side mesh substrate.
+
+    Searches (epoch length J descending from ``resort_every``, cell width
+    over a small candidate ladder) for the cheapest configuration that fits
+    the chunk-count and memory budgets; per-spin streaming cost is
+    proxied by the mean last-step chunk count.
+
+    Parameters
+    ----------
+    substrate : disimpy_tpu.substrates._Substrate (type "mesh")
+    scale : float
+        1 / step length (metres^-1): converts coordinates to step units.
+    resort_every : int
+        Maximum epoch length J in [1, MAX_J]; reduced automatically when
+        the geometry is too dense for the implied dilation.
+    cell_steps : float, optional
+        If given, only this cell width (in step lengths) is tried.
+    """
+    import os
+    import pickle
+
+    from ..substrates import _triangle_box_overlap_batch
+
+    if cache_path is not None and os.path.exists(cache_path):
+        with open(cache_path, "rb") as f:
+            parts = pickle.load(f)
+        return FusedMeshSpec(
+            **{k: jnp.asarray(v) for k, v in parts["arrays"].items()},
+            **parts["meta"],
+        )
+
+    assert 1 <= resort_every <= MAX_J
+    vertices = np.asarray(substrate.vertices, dtype=np.float64) * scale
+    faces = np.asarray(substrate.faces)
+    tri = vertices[faces]  # (T, 3, 3)
+    voxel_size = np.asarray(substrate.voxel_size, dtype=np.float64) * scale
+    aabb_min = tri.min(axis=1)
+    aabb_max = tri.max(axis=1)
+
+    if cell_steps is not None:
+        widths = [float(cell_steps)]
+    else:
+        widths = [4.0, 2.83, 2.0, 1.41, 1.0, 0.71, 0.5, 6.0, 9.0, 13.5, 20.0, 30.0]
+    periodic = substrate.periodic
+
+    n_hint = 2.0e5  # expected spin count for the run-length penalty
+    for J in range(resort_every, 0, -1):
+        dil = _dilations(J)
+        best = None
+        worsened = 0
+        for width in widths:
+            n_sv = np.maximum(1, np.floor(voxel_size / width).astype(int))
+            est = _pair_estimate(
+                aabb_min, aabb_max, n_sv, voxel_size / n_sv, voxel_size,
+                dil[-1], periodic,
+            )
+            if est > PAIR_LIMIT:
+                continue
+            built = _build_table(
+                tri, aabb_min, aabb_max, n_sv, voxel_size / n_sv,
+                voxel_size, dil, periodic, J, _triangle_box_overlap_batch,
+            )
+            if built is None:  # a per-cell chunk count overflowed
+                continue
+            table, cell_start, cell_packed = built
+            if table.nbytes > bytes_limit:
+                continue
+            # Effective per-spin streaming cost: chunk counts averaged over
+            # the epoch's steps, times the run/block overlap penalty (short
+            # runs make every 8-spin block straddle several runs).
+            curve = np.mean([
+                float(np.mean((cell_packed >> (BITS * s)) & ((1 << BITS) - 1)))
+                for s in range(J)
+            ])
+            lam = max(n_hint / float(np.prod(n_sv)), 1.0)
+            score = curve * (1.0 + 8.0 / lam)
+            if not quiet:
+                print(
+                    f"pack_fused: J={J} width={width} n_sv={tuple(n_sv)} "
+                    f"eff-chunks={score:.2f} {table.nbytes/1e6:.0f}MB"
+                )
+            cand = (score, table.nbytes, built, tuple(int(x) for x in n_sv))
+            if best is None or cand[:2] < best[:2]:
+                best = cand
+                worsened = 0
+            else:
+                worsened += 1
+                if worsened >= 1:
+                    break
+            if score <= 1.3:
+                break
+        if best is not None:
+            _, _, (table, cell_start, cell_packed), n_sv_t = best
+            if cache_path is not None:
+                parts = {
+                    "arrays": {
+                        "table": table,
+                        "cell_start": cell_start,
+                        "cell_packed": cell_packed,
+                        "voxel_size": voxel_size.astype(np.float32),
+                        "sv_width": (
+                            voxel_size / np.array(n_sv_t)
+                        ).astype(np.float32),
+                        "perm_prob": np.float32(substrate.perm_prob),
+                    },
+                    "meta": {
+                        "n_sv": n_sv_t,
+                        "resort_every": int(J),
+                        "seed_salt": int(seed_salt),
+                    },
+                }
+                with open(cache_path, "wb") as f:
+                    pickle.dump(parts, f)
+            return FusedMeshSpec(
+                table=jnp.asarray(table),
+                cell_start=jnp.asarray(cell_start),
+                cell_packed=jnp.asarray(cell_packed),
+                voxel_size=jnp.asarray(voxel_size, jnp.float32),
+                sv_width=jnp.asarray(
+                    voxel_size / np.array(n_sv_t), jnp.float32
+                ),
+                perm_prob=jnp.asarray(substrate.perm_prob, jnp.float32),
+                n_sv=n_sv_t,
+                resort_every=int(J),
+                seed_salt=int(seed_salt),
+            )
+    raise ValueError(
+        "fused mesh table does not fit the chunk/memory budgets for any "
+        "(epoch, cell width) configuration"
+    )
+
+
+def _pair_estimate(aabb_min, aabb_max, n_sv, sv_width, voxel_size, dilation,
+                   periodic):
+    """AABB-level (triangle image, cell) pair count (cheap upper bound).
+
+    Mirrors _candidate_pairs' reachability masking: a periodic image only
+    contributes the triangles whose shifted AABB actually reaches the
+    dilated voxel (for dilation << voxel, that's a thin boundary shell,
+    not the whole mesh 27 times over).
+    """
+    total = 0.0
+    if periodic:
+        s_max = [1 + int(math.floor(dilation / voxel_size[a])) for a in range(3)]
+        ranges = [np.arange(-s_max[a], s_max[a] + 1) for a in range(3)]
+    else:
+        ranges = [np.array([0])] * 3
+    for sx in ranges[0]:
+        for sy in ranges[1]:
+            for sz in ranges[2]:
+                shift = np.array([sx, sy, sz], dtype=np.float64) * voxel_size
+                lo = aabb_min + shift - dilation
+                hi = aabb_max + shift + dilation
+                ok = np.all(lo < voxel_size, axis=1) & np.all(hi > 0, axis=1)
+                if not np.any(ok):
+                    continue
+                lo_c = np.clip(np.floor(lo[ok] / sv_width), 0, n_sv - 1)
+                hi_c = np.clip(np.floor(hi[ok] / sv_width), 0, n_sv - 1)
+                total += float(np.prod(hi_c - lo_c + 1, axis=1).sum())
+    return total
+
+
+def _build_table(tri, aabb_min, aabb_max, n_sv, sv_width, voxel_size, dil,
+                 periodic, J, sat_batch):
+    """Distance-ordered per-cell rows; None if a count overflows BITS."""
+    tri_i, shift_i, cell_i = _candidate_pairs(
+        aabb_min, aabb_max, n_sv, sv_width, voxel_size, dil[-1], periodic
+    )
+    n_cells = int(np.prod(n_sv))
+    if len(tri_i) == 0:
+        table = np.zeros((1, 16, 128), np.float32)
+        return table, np.zeros(n_cells, np.int32), np.zeros(n_cells, np.int32)
+
+    # Membership: exact SAT against the largest dilated cell box (one
+    # pass). Level (which epoch step first needs the triangle): from the
+    # AABB distance between triangle and cell box — a lower bound on the
+    # true distance, so a triangle can only land in an *earlier* chunk
+    # than strictly necessary (superset per step = no leaks), while the
+    # exact per-level SAT cascade would cost J passes of host time.
+    cell_xyz = np.stack(
+        np.unravel_index(cell_i, tuple(n_sv)), axis=1
+    ).astype(np.float64)
+    box_lo = cell_xyz * sv_width
+    box_hi = box_lo + sv_width
+    tri_shifted = tri[tri_i] + (shift_i * voxel_size)[:, None, :]
+    keep = np.empty(len(tri_i), dtype=bool)
+    for c0 in range(0, len(tri_i), 2_000_000):
+        sl = slice(c0, c0 + 2_000_000)
+        boxes = np.stack(
+            (box_lo[sl] - dil[-1], box_hi[sl] + dil[-1]), axis=1
+        )
+        keep[sl] = sat_batch(tri_shifted[sl], boxes)
+    tri_i, cell_i = tri_i[keep], cell_i[keep]
+    tri_shifted = tri_shifted[keep]
+    box_lo, box_hi = box_lo[keep], box_hi[keep]
+    amin = tri_shifted.min(axis=1)
+    amax = tri_shifted.max(axis=1)
+    gap = np.maximum(np.maximum(box_lo - amax, amin - box_hi), 0.0)
+    dist_lb = np.linalg.norm(gap, axis=1)
+    level = np.searchsorted(np.asarray(dil), dist_lb, side="left")
+    level = np.minimum(level, J - 1).astype(np.int32)
+
+    # Group by (cell, level): row order inside a cell is nearest-first.
+    order = np.lexsort((level, cell_i))
+    cell_i, level, tri_shifted = cell_i[order], level[order], tri_shifted[order]
+    per_cell = np.bincount(cell_i, minlength=n_cells)
+
+    # Per-cell, per-step chunk counts.
+    counts = np.zeros((n_cells, J), np.int64)
+    for s in range(J):
+        c = np.bincount(cell_i[level <= s], minlength=n_cells)
+        counts[:, s] = -(-c // 128)
+        # a row's step-s stream must include every earlier-step chunk
+        if s:
+            counts[:, s] = np.maximum(counts[:, s], counts[:, s - 1])
+    if counts.max() > CH_MAX:
+        return None
+    packed = np.zeros(n_cells, np.int64)
+    for s in range(J):
+        packed |= counts[:, s] << (BITS * s)
+
+    n_chunks_cell = counts[:, J - 1]
+    cell_start = np.concatenate(([0], np.cumsum(n_chunks_cell)[:-1]))
+    total_chunks = max(int(n_chunks_cell.sum()), 1)
+
+    # Records: A, E1, E2, unit normal.
+    A = tri_shifted[:, 0, :]
+    E1 = tri_shifted[:, 1, :] - A
+    E2 = tri_shifted[:, 2, :] - A
+    normal = np.cross(E1, E2)
+    norms = np.linalg.norm(normal, axis=1, keepdims=True)
+    normal = normal / np.where(norms == 0, 1.0, norms)
+    rec = np.concatenate(
+        (A, E1, E2, normal, np.zeros((len(A), 4))), axis=1
+    ).astype(np.float32)
+
+    row_start = np.concatenate(([0], np.cumsum(per_cell)[:-1]))
+    slot = np.arange(len(cell_i)) - row_start[cell_i]
+    flat = cell_start[cell_i] * 128 + slot  # position in the chunk stream
+    flat_arr = np.zeros((total_chunks * 128, 16), np.float32)
+    flat_arr[flat] = rec
+    table = np.ascontiguousarray(
+        flat_arr.reshape(total_chunks, 128, 16).transpose(0, 2, 1)
+    )
+    # Trailing zero chunks: the kernel's single-DMA row fetch reads a full
+    # size class (up to CH_MAX chunks) from the row start.
+    table = np.concatenate(
+        (table, np.zeros((CH_MAX, 16, 128), np.float32)), axis=0
+    )
+    return table, cell_start.astype(np.int32), packed.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Window execution
+# ---------------------------------------------------------------------------
+
+
+def _cell_keys(spec, positions):
+    """Anchor keys and per-spin row metadata from true (3, n) positions."""
+    n_sv = jnp.asarray(spec.n_sv, jnp.int32)
+    base = jnp.floor(positions / spec.sv_width[:, None]).astype(jnp.int32)
+    shift = jnp.floor_divide(base, n_sv[:, None])
+    wrapped = base - shift * n_sv[:, None]
+    cell = (wrapped[0] * spec.n_sv[1] + wrapped[1]) * spec.n_sv[2] + wrapped[2]
+    shiftvox = shift.astype(positions.dtype) * spec.voxel_size[:, None]
+    return cell, spec.cell_start[cell], spec.cell_packed[cell], shiftvox
+
+
+def _run_ends(keys):
+    """First index after each position whose key differs (run end)."""
+    n = keys.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    diff_next = jnp.concatenate((keys[:-1] != keys[1:], jnp.ones((1,), bool)))
+    boundary = jnp.where(diff_next, pos, n)
+    return jnp.flip(lax.cummin(jnp.flip(boundary.astype(jnp.int32)))) + 1
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
+                     epsilon, max_iter, interpret=False):
+    """Advance the ensemble through the window ``ts`` with the fused engine.
+
+    Arguments mirror engine.core.run_window (positions (3, n) true
+    unwrapped coordinates; phases (n_meas, n)); trajectory collection is
+    not supported here (the driver uses the classic path for traj output).
+    ``seed32`` is an int32 derived from the simulation seed; the in-kernel
+    RNG is keyed by (seed32 ^ salt, t, spin id) — no jax PRNG key
+    threading.
+
+    Phase accumulators stay in ORIGINAL spin order for the whole window:
+    each epoch accumulates its per-spin phase delta in the epoch's sorted
+    order and permutes the delta back with one batched 9-operand sort
+    (keys = the carried original ids, payloads = 8 grouped delta rows).
+    A single wide sort carrying all n_meas phase rows would be cheaper on
+    paper, but the XLA TPU sort lowering's compile time explodes somewhere
+    beyond ~21 operands (measured: 21 operands compile in minutes, 37+
+    never finished) — batching rows into (G, n) operands keeps the operand
+    count at 9 regardless of n_meas.
+    """
+    from . import pallas_fused
+    from .pallas_fused import TILE
+
+    J = spec.resort_every
+    n_true = positions.shape[1]
+    n_t = int(ts.shape[0])
+    t0_val = ts[0]
+    n_epochs = -(-n_t // J)
+    dtype = positions.dtype
+    m = phases.shape[0]
+    G = -(-m // 8)
+    m_pad = G * 8
+
+    # Pad the spin axis to a whole number of kernel tiles; pad spins copy
+    # spin 0 (valid physics, ids beyond n_true) and are sliced off after
+    # the final unsort (they sort last).
+    n = -(-n_true // TILE) * TILE
+    if n != n_true:
+        reps = n - n_true
+        positions = jnp.concatenate(
+            (positions, jnp.repeat(positions[:, :1], reps, axis=1)), axis=1
+        )
+        phases = jnp.concatenate(
+            (phases, jnp.zeros((m, reps), phases.dtype)), axis=1
+        )
+        iter_exc = jnp.concatenate((iter_exc, jnp.zeros(reps, bool)))
+    if m_pad != m:
+        phases = jnp.concatenate(
+            (phases, jnp.zeros((m_pad - m, n), phases.dtype)), axis=0
+        )
+
+    ids = jnp.arange(n, dtype=jnp.int32)
+    idexc = (ids << 1) | iter_exc.astype(jnp.int32)
+
+    # Pad the window's phase coefficients to n_epochs * J steps and
+    # n_meas to m_pad (zero rows accumulate zero delta).
+    g_pad = jnp.pad(
+        g_eff, ((0, n_epochs * J - n_t), (0, m_pad - m), (0, 0))
+    )
+    g_epochs = g_pad.reshape(n_epochs, J, m_pad, 3)
+
+    seed_k = jnp.asarray(seed32, jnp.int32) ^ jnp.int32(spec.seed_salt)
+
+    def epoch(carry, xs):
+        positions, phases, idexc = carry
+        e_idx, g_e = xs
+        t_base = t0_val + e_idx * J
+
+        cell, start, packed, shiftvox = _cell_keys(spec, positions)
+        shifted = positions - shiftvox
+        ops = lax.sort(
+            (
+                cell,
+                start,
+                packed,
+                shifted[0],
+                shifted[1],
+                shifted[2],
+                shiftvox[0],
+                shiftvox[1],
+                shiftvox[2],
+                idexc,
+            ),
+            num_keys=1,
+        )
+        cell_s, start_s, packed_s = ops[0], ops[1], ops[2]
+        pos_s = jnp.stack(ops[3:6])
+        shiftvox_s = jnp.stack(ops[6:9])
+        idexc_s = ops[9]
+        next_end = _run_ends(cell_s)
+        ids_s = idexc_s >> 1
+
+        def step(c, xs_s):
+            pos_s, dphi, exc_bits = c
+            s, g_t = xs_s
+            t = t_base + s
+            valid = t < t0_val + n_t
+            direction = krng.unit_directions(seed_k, t, ids_s, dtype)
+            new_pos, exc_t = pallas_fused.fused_step(
+                spec, pos_s, direction, ids_s, start_s, packed_s, next_end,
+                s, t, seed_k, epsilon, max_iter, interpret=interpret,
+            )
+            pos_s = jnp.where(valid, new_pos, pos_s)
+            exc_bits = exc_bits | jnp.where(valid, exc_t, False)
+            contrib = lax.dot(
+                g_t.astype(dtype), pos_s + shiftvox_s,
+                preferred_element_type=dphi.dtype,
+            )
+            dphi = jnp.where(valid, dphi + contrib, dphi)
+            return (pos_s, dphi, exc_bits), None
+
+        dphi0 = jnp.zeros((m_pad, n), phases.dtype)
+        (pos_s, dphi, exc_bits), _ = lax.scan(
+            step, (pos_s, dphi0, jnp.zeros(n, bool)),
+            (jnp.arange(J), g_e),
+        )
+        idexc_s = idexc_s | exc_bits.astype(jnp.int32)
+
+        # Permute the epoch's phase delta back to original spin order.
+        keys = jnp.broadcast_to(ids_s, (G, n))
+        grouped = dphi.reshape(G, 8, n)
+        perm = lax.sort(
+            (keys,) + tuple(grouped[:, j] for j in range(8)),
+            dimension=1,
+            num_keys=1,
+        )
+        dphi_orig = jnp.stack(perm[1:], axis=1).reshape(m_pad, n)
+        phases = phases + dphi_orig
+
+        # idexc travels with positions (epoch order); phases stay original.
+        positions = pos_s + shiftvox_s
+        return (positions, phases, idexc_s), None
+
+    (positions, phases, idexc), _ = lax.scan(
+        epoch,
+        (positions, phases, idexc),
+        (jnp.arange(n_epochs), g_epochs),
+    )
+
+    # Restore original spin order once per window.
+    ops = lax.sort(
+        (idexc, positions[0], positions[1], positions[2]), num_keys=1
+    )
+    idexc = ops[0][:n_true]
+    positions = jnp.stack(ops[1:4])[:, :n_true]
+    phases = phases[:m, :n_true]
+    iter_exc = (idexc & 1).astype(bool)
+    return (positions, phases, iter_exc), None

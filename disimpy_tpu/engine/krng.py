@@ -24,7 +24,9 @@ _PARITY = np.int32(np.uint32(0x1BD11BDA).view(np.int32))
 
 
 def _rotl(x, r):
-    return (x << r) | lax.shift_right_logical(x, 32 - r)
+    # Explicit int32 shift amounts: under jax x64 mode a bare python int
+    # would promote to int64 and lax shifts reject mixed types.
+    return (x << np.int32(r)) | lax.shift_right_logical(x, np.int32(32 - r))
 
 
 def threefry2x32(k0, k1, x0, x1, rounds=13):
@@ -51,7 +53,7 @@ def threefry2x32(k0, k1, x0, x1, rounds=13):
 
 def uniform01(bits, dtype=jnp.float32):
     """Map int32 random bits to uniforms in [0, 1) with 24-bit resolution."""
-    return lax.shift_right_logical(bits, 8).astype(dtype) * jnp.asarray(
+    return lax.shift_right_logical(bits, np.int32(8)).astype(dtype) * jnp.asarray(
         1.0 / (1 << 24), dtype
     )
 

@@ -156,11 +156,15 @@ def _ray_crossings_x(points, triangles, tri_subset=None):
         tri_subset = np.broadcast_to(
             np.arange(len(triangles))[None, :], (len(points), len(triangles))
         )
-    counts = _count_crossings_x(
-        jnp.asarray(points),
-        jnp.asarray(np.asarray(triangles), dtype=jnp.float32),
-        jnp.asarray(tri_subset),
-    )
+    # Seeding is host-side preprocessing: pin it to the CPU backend so the
+    # (chunk, K, 3, 3) candidate gather never lands in (and can exceed)
+    # accelerator memory.
+    with jax.default_device(jax.devices("cpu")[0]):
+        counts = _count_crossings_x(
+            jnp.asarray(points),
+            jnp.asarray(np.asarray(triangles), dtype=jnp.float32),
+            jnp.asarray(tri_subset),
+        )
     return np.asarray(counts)
 
 
@@ -179,20 +183,22 @@ def _column_candidates(substrate, n_faces):
     ranges = np.asarray(substrate.subvoxel_indices)
     ids = np.asarray(substrate.triangle_indices)
     n_cols = int(n_sv[1] * n_sv[2])
-    columns = [[] for _ in range(n_cols)]
-    sv = 0
-    for x in range(n_sv[0]):
-        for col in range(n_cols):
-            start, end = ranges[sv]
-            columns[col].extend(
-                i for i in ids[start:end] if i < n_faces
-            )
-            sv += 1
-    columns = [np.unique(c) if c else np.empty(0, dtype=int) for c in columns]
-    K = max(1, max(len(c) for c in columns))
+    # CSR entries are subvoxel-major and contiguous: entry e belongs to the
+    # subvoxel whose [start, end) slice contains it, and a subvoxel's
+    # column is its index modulo n_cols (x is the leading axis).
+    counts = ranges[:, 1] - ranges[:, 0]
+    col_of_entry = (np.repeat(np.arange(len(counts)), counts) % n_cols)
+    keep = ids < n_faces
+    key = col_of_entry[keep] * np.int64(max(n_faces, 1)) + ids[keep]
+    uniq = np.unique(key)
+    cols_u = uniq // max(n_faces, 1)
+    ids_u = uniq % max(n_faces, 1)
+    per_col = np.bincount(cols_u, minlength=n_cols)
+    K = max(1, int(per_col.max()) if per_col.size else 1)
     table = np.full((n_cols, K), -1, dtype=np.int64)
-    for col, c in enumerate(columns):
-        table[col, : len(c)] = c
+    offsets = np.concatenate(([0], np.cumsum(per_col)[:-1]))
+    slot = np.arange(len(uniq)) - offsets[cols_u]
+    table[cols_u, slot] = ids_u
     return table
 
 
@@ -295,9 +301,14 @@ def _write_traj(traj, mode, positions):
 # ---------------------------------------------------------------------------
 
 
-def _prepare_substrate(substrate, n_walkers, seed, scale, dtype, quiet):
+def _prepare_substrate(substrate, n_walkers, seed, scale, dtype, quiet,
+                       mesh_engine="classic"):
     """Build the engine spec, initial positions (substrate frame, scaled),
-    the frame->lab rotation (or None), and a geometry-extent estimate."""
+    the frame->lab rotation (or None), and a geometry-extent estimate.
+
+    ``mesh_engine`` selects the acceleration structure built for mesh
+    substrates: "classic" (per-bounce query path) or "fused" (the
+    fused-step engine, engine/fused.py)."""
     if substrate.type == "free":
         positions = np.zeros((n_walkers, 3))
         return FreeSpec(), positions * scale, None, 1.0
@@ -347,11 +358,33 @@ def _prepare_substrate(substrate, n_walkers, seed, scale, dtype, quiet):
                 )
             if not quiet:
                 print("Finished calculating initial positions")
-        cache_key = (float(scale), str(dtype))
-        spec = substrate._accel_cache.get(cache_key)
-        if spec is None:
-            spec = mesh_accel.pack_mesh(substrate, scale, dtype)
-            substrate._accel_cache[cache_key] = spec
+        if mesh_engine == "fused":
+            from .engine import config as engine_config
+            from .engine import fused
+
+            cache_key = ("fused", float(scale), engine_config.fused_resort_every)
+            spec = substrate._accel_cache.get(cache_key)
+            if spec is None:
+                try:
+                    spec = fused.pack_fused(
+                        substrate,
+                        scale,
+                        resort_every=engine_config.fused_resort_every,
+                    )
+                except ValueError:
+                    # Geometry too dense for any fused configuration
+                    # (e.g. step length comparable to the voxel): the
+                    # classic per-bounce path handles it.
+                    spec = None
+                substrate._accel_cache[cache_key] = spec
+            if spec is None:
+                mesh_engine = "classic" 
+        else:
+            cache_key = (float(scale), str(dtype))
+            spec = substrate._accel_cache.get(cache_key)
+            if spec is None:
+                spec = mesh_accel.pack_mesh(substrate, scale, dtype)
+                substrate._accel_cache[cache_key] = spec
         extent = float(np.max(substrate.voxel_size)) * scale
         return spec, positions * scale, None, extent
 
@@ -508,8 +541,16 @@ def simulation(
     # Host RNG for initial-position sampling (parity: simulations.py:1169).
     np.random.seed(seed)
 
+    from .engine import config as engine_config
+
+    mesh_engine = "classic"
+    if substrate.type == "mesh":
+        mesh_engine = engine_config.mesh_engine(
+            dtype, needs_traj=bool(traj), sharded=devices is not None
+        )
     spec, positions_np, frame_to_lab, extent = _prepare_substrate(
-        substrate, n_walkers, seed, scale, dtype, quiet
+        substrate, n_walkers, seed, scale, dtype, quiet,
+        mesh_engine=mesh_engine,
     )
     kind = substrate.type
 
@@ -567,22 +608,40 @@ def simulation(
     else:
         window = n_t
 
+    seed32 = jnp.asarray(seed & 0x7FFFFFFF, jnp.int32)
+
     t0 = 0
     while t0 < n_t:
         t1 = min(t0 + window, n_t)
-        (positions, phases, iter_exc), collected = engine_core.run_window(
-            kind,
-            spec,
-            positions,
-            phases,
-            iter_exc,
-            g_eff_dev[t0:t1],
-            jnp.arange(t0, t1),
-            key,
-            epsilon_dev,
-            max_iter_dev,
-            collect_positions=bool(traj),
-        )
+        if mesh_engine == "fused":
+            from .engine import fused
+
+            (positions, phases, iter_exc), collected = fused.run_window_fused(
+                spec,
+                positions,
+                phases,
+                iter_exc,
+                g_eff_dev[t0:t1],
+                jnp.arange(t0, t1),
+                seed32,
+                epsilon_dev,
+                max_iter_dev,
+                interpret=engine_config.pallas_interpret,
+            )
+        else:
+            (positions, phases, iter_exc), collected = engine_core.run_window(
+                kind,
+                spec,
+                positions,
+                phases,
+                iter_exc,
+                g_eff_dev[t0:t1],
+                jnp.arange(t0, t1),
+                key,
+                epsilon_dev,
+                max_iter_dev,
+                collect_positions=bool(traj),
+            )
         if traj:
             collected = np.asarray(collected)
             for step_positions in collected:

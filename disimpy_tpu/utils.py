@@ -52,28 +52,37 @@ def vec2vec_rotmat(v, k):
     return np.eye(3) + np.sin(angle) * K + (1.0 - np.cos(angle)) * (K @ K)
 
 
-def _require_matplotlib():
+def _axes3d(title=None):
+    """Lazy-import matplotlib and hand back (plt, a labelled 3D axes)."""
     try:
-        import matplotlib.pyplot as plt  # noqa: F401
-        from mpl_toolkits.mplot3d.art3d import Poly3DCollection  # noqa: F401
+        import matplotlib.pyplot as plt
     except ImportError as e:  # pragma: no cover
         raise ImportError(
             "matplotlib is required for visualization; install the 'viz' extra"
         ) from e
-    import matplotlib.pyplot as plt
-    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+    fig, ax = plt.subplots(subplot_kw={"projection": "3d"})
+    for name in "xyz":
+        getattr(ax, f"set_{name}label")(name)
+    ax.ticklabel_format(style="sci", scilimits=(0, 0))
+    if title:
+        ax.set_title(title)
+    return plt, fig, ax
 
-    return plt, Poly3DCollection
 
-
-def show_traj(traj_file, show=True):
+def show_traj(traj_file, max_walkers=None, show=True):
     """Plot random-walker trajectories saved in a trajectories file.
+
+    All trajectories are rendered as one ``Line3DCollection`` (a single
+    vectorized artist, not a per-walker plotting loop), coloured by walker
+    index.
 
     Parameters
     ----------
     traj_file : str
         Path to a trajectories file: one line per time point, each line
         holding ``walker_1_x walker_1_y walker_1_z walker_2_x ...``.
+    max_walkers : int, optional
+        Draw only the first ``max_walkers`` trajectories (all by default).
     show : bool, optional
         If False, return the figure without calling ``plt.show()`` (useful
         for headless testing).
@@ -82,24 +91,23 @@ def show_traj(traj_file, show=True):
     -------
     matplotlib.figure.Figure
     """
-    plt, _ = _require_matplotlib()
-    trajectories = np.loadtxt(traj_file)
-    trajectories = trajectories.reshape(
-        (trajectories.shape[0], trajectories.shape[1] // 3, 3)
+    from mpl_toolkits.mplot3d.art3d import Line3DCollection
+
+    flat = np.loadtxt(traj_file, ndmin=2)
+    walkers = flat.reshape(flat.shape[0], -1, 3).transpose(1, 0, 2)
+    if max_walkers is not None:
+        walkers = walkers[:max_walkers]
+    plt, fig, ax = _axes3d()
+    colors = plt.cm.viridis(np.linspace(0.0, 1.0, len(walkers)))
+    ax.add_collection3d(
+        Line3DCollection(walkers, colors=colors, linewidths=0.8, alpha=0.5)
     )
-    fig = plt.figure()
-    ax = fig.add_subplot(111, projection="3d")
-    for i in range(trajectories.shape[1]):
-        ax.plot(
-            trajectories[:, i, 0],
-            trajectories[:, i, 1],
-            trajectories[:, i, 2],
-            alpha=0.5,
-        )
-    ax.set_xlabel("x")
-    ax.set_ylabel("y")
-    ax.set_zlabel("z")
-    ax.ticklabel_format(style="sci", scilimits=(0, 0))
+    lo = walkers.reshape(-1, 3).min(axis=0)
+    hi = walkers.reshape(-1, 3).max(axis=0)
+    pad = 0.05 * np.maximum(hi - lo, np.finfo(float).tiny)
+    ax.set_xlim(lo[0] - pad[0], hi[0] + pad[0])
+    ax.set_ylim(lo[1] - pad[1], hi[1] + pad[1])
+    ax.set_zlim(lo[2] - pad[2], hi[2] + pad[2])
     fig.tight_layout()
     if show:  # pragma: no cover
         plt.show()
@@ -107,7 +115,11 @@ def show_traj(traj_file, show=True):
 
 
 def show_mesh(substrate, seed=123, show=True):
-    """Visualize a mesh substrate's triangles with random face colours.
+    """Visualize a mesh substrate's triangles.
+
+    All faces are rendered as one ``Poly3DCollection`` with a per-face
+    random colour array (a single vectorized artist, not one collection
+    per triangle).
 
     Parameters
     ----------
@@ -122,21 +134,18 @@ def show_mesh(substrate, seed=123, show=True):
     -------
     matplotlib.figure.Figure
     """
-    plt, Poly3DCollection = _require_matplotlib()
-    rng = np.random.default_rng(seed)
-    fig = plt.figure()
-    ax = fig.add_subplot(111, projection="3d")
-    for idx in substrate.faces:
-        tri = Poly3DCollection([substrate.vertices[idx]], alpha=0.5)
-        tri.set_facecolor(rng.random(3))
-        ax.add_collection3d(tri)
-    ax.set_xlim([0, substrate.voxel_size[0]])
-    ax.set_ylim([0, substrate.voxel_size[1]])
-    ax.set_zlim([0, substrate.voxel_size[2]])
-    ax.set_xlabel("x")
-    ax.set_ylabel("y")
-    ax.set_zlabel("z")
-    ax.ticklabel_format(style="sci", scilimits=(0, 0))
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    triangles = np.asarray(substrate.vertices)[np.asarray(substrate.faces)]
+    colors = np.random.default_rng(seed).random((len(triangles), 3))
+    plt, fig, ax = _axes3d()
+    faces = Poly3DCollection(
+        triangles, facecolors=colors, edgecolors="none", alpha=0.5
+    )
+    ax.add_collection3d(faces)
+    ax.set_xlim(0, substrate.voxel_size[0])
+    ax.set_ylim(0, substrate.voxel_size[1])
+    ax.set_zlim(0, substrate.voxel_size[2])
     fig.tight_layout()
     if show:  # pragma: no cover
         plt.show()

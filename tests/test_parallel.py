@@ -57,22 +57,26 @@ def test_sharded_sphere_with_padding(mesh8):
     npt.assert_allclose(sharded, single, rtol=1e-4, atol=1e-3)
 
 
-def test_sharded_mesh_simulation(mesh8):
+def test_sharded_mesh_simulation_matches_single_device(mesh8):
+    """The hardest sharded path: the mesh bounce machinery under GSPMD.
+
+    Same seed, single device vs 8 virtual devices: the counter-based RNG is
+    partitionable, so positions and signals must match to rounding (the
+    signal reduction order differs across shardings).
+    """
     vertices, faces = meshes.icosphere(radius=5e-6, subdivisions=1)
     substrate = substrates.mesh(
         vertices, faces, periodic=True, n_sv=np.array([2, 2, 2]), quiet=True
     )
     gradient, dt = example_gradient(50)
-    signals, pos = simulations.simulation(
-        256,
-        2e-9,
-        gradient,
-        dt,
-        substrate,
-        devices=mesh8,
-        final_pos=True,
-        quiet=True,
+    # 250 is not divisible by 8: exercises spin padding under the mesh path.
+    kwargs = dict(final_pos=True, quiet=True)
+    s1, p1 = simulations.simulation(
+        250, 2e-9, gradient, dt, substrate, **kwargs
     )
-    assert signals.shape == (1,)
-    assert np.isfinite(signals).all()
-    assert pos.shape == (256, 3)
+    s8, p8 = simulations.simulation(
+        250, 2e-9, gradient, dt, substrate, devices=mesh8, **kwargs
+    )
+    assert s8.shape == (1,) and p8.shape == (250, 3)
+    npt.assert_allclose(p8, p1, atol=1e-12)
+    npt.assert_allclose(s8, s1, rtol=1e-5, atol=1e-6)
