@@ -278,7 +278,10 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
                 worsened += 1
                 if worsened >= 1:
                     break
-            if score <= 1.3:
+            # Good enough in absolute terms: ~4 chunk-streams per
+            # spin-step is already DMA/compute-balanced; further search
+            # buys little but costs minutes of host SAT time.
+            if score <= 4.0:
                 break
         if best is not None:
             _, _, (table, cell_start, cell_packed), n_sv_t = best
@@ -333,6 +336,11 @@ def _pair_estimate(aabb_min, aabb_max, n_sv, sv_width, voxel_size, dilation,
     total = 0.0
     if periodic:
         s_max = [1 + int(math.floor(dilation / voxel_size[a])) for a in range(3)]
+        if np.prod([2 * m + 1 for m in s_max]) > 4096:
+            # The dilation spans many periodic tiles (step length comparable
+            # to the voxel): no grid configuration is viable, and even
+            # estimating it image-by-image would take minutes.
+            return float("inf")
         ranges = [np.arange(-s_max[a], s_max[a] + 1) for a in range(3)]
     else:
         ranges = [np.array([0])] * 3
@@ -413,6 +421,10 @@ def _build_table(tri, aabb_min, aabb_max, n_sv, sv_width, voxel_size, dil,
     n_chunks_cell = counts[:, J - 1]
     cell_start = np.concatenate(([0], np.cumsum(n_chunks_cell)[:-1]))
     total_chunks = max(int(n_chunks_cell.sum()), 1)
+    if total_chunks * 128 * 16 * 4 > 4 * TABLE_BYTES_LIMIT:
+        # Don't even allocate tables that can't fit any budget (the caller
+        # checks the exact limit on the returned table).
+        return None
 
     # Records: A, E1, E2, unit normal.
     A = tri_shifted[:, 0, :]

@@ -170,11 +170,33 @@ def pack_mesh(substrate, scale, dtype, chunk=None):
     record = _triangle_records(substrate, scale)
     voxel_size = np.asarray(substrate.voxel_size, dtype=np.float64) * scale
     n_sv = tuple(int(x) for x in substrate.n_sv)
+
+    # The engine's grid resolution is a performance choice, not physics:
+    # when the user's n_sv gives cells much narrower than one step length
+    # (large dt), the traversal stencil explodes as (1/width + 2)^3 and
+    # the query becomes pathological (the observed failure mode is a TPU
+    # kernel watchdog fault on a 512-offset stencil). Re-grid the engine's
+    # acceleration structure so cells are at least half a step wide; the
+    # substrate's own CSR grid (used for seeding) is untouched.
+    n_cap = np.maximum(np.floor(voxel_size / 0.5).astype(int), 1)
+    if np.any(np.array(n_sv) > n_cap):
+        from .. import substrates as _substrates
+
+        n_sv = tuple(int(x) for x in np.minimum(n_sv, n_cap))
+        _, _, _, tri_ids, csr_ranges = _substrates._mesh_space_subdivision(
+            np.asarray(substrate.vertices),
+            np.asarray(substrate.faces),
+            np.asarray(substrate.voxel_size),
+            np.asarray(n_sv),
+        )
+        csr_ranges = np.asarray(csr_ranges)
+        tri_ids = np.asarray(tri_ids)
+    else:
+        csr_ranges = np.asarray(substrate.subvoxel_indices)
+        tri_ids = np.asarray(substrate.triangle_indices)
+
     n_subvoxels = n_sv[0] * n_sv[1] * n_sv[2]
     sv_width = voxel_size / np.array(n_sv, dtype=np.float64)
-
-    csr_ranges = np.asarray(substrate.subvoxel_indices)
-    tri_ids = np.asarray(substrate.triangle_indices)
     counts = csr_ranges[:, 1] - csr_ranges[:, 0]
 
     # Static per-axis traversal spans: a segment of length <= 1 step plus

@@ -311,12 +311,15 @@ def _prepare_substrate(substrate, n_walkers, seed, scale, dtype, quiet,
     fused-step engine, engine/fused.py)."""
     if substrate.type == "free":
         positions = np.zeros((n_walkers, 3))
-        return FreeSpec(), positions * scale, None, 1.0
+        return FreeSpec(), positions * scale, None, 1.0, "classic"
 
     if substrate.type == "sphere":
         r = substrate.radius
         positions = _fill_sphere(n_walkers, r) * scale
-        return SphereSpec(radius=jnp.asarray(r * scale, dtype=dtype)), positions, None, r * scale
+        return (
+            SphereSpec(radius=jnp.asarray(r * scale, dtype=dtype)),
+            positions, None, r * scale, "classic",
+        )
 
     if substrate.type == "cylinder":
         r = substrate.radius
@@ -331,14 +334,17 @@ def _prepare_substrate(substrate, n_walkers, seed, scale, dtype, quiet,
         positions = np.zeros((n_walkers, 3))
         positions[:, 1:3] = _fill_circle(n_walkers, r)
         spec = CylinderSpec(radius=jnp.asarray(r * scale, dtype=dtype))
-        return spec, positions * scale, frame_to_lab, r * scale
+        return spec, positions * scale, frame_to_lab, r * scale, "classic"
 
     if substrate.type == "ellipsoid":
         semiaxes = np.asarray(substrate.semiaxes, dtype=float)
         frame_to_lab = np.asarray(substrate.R, dtype=float)
         positions = _fill_ellipsoid(n_walkers, semiaxes) * scale
         spec = EllipsoidSpec(semiaxes=jnp.asarray(semiaxes * scale, dtype=dtype))
-        return spec, positions, frame_to_lab, float(np.max(semiaxes)) * scale
+        return (
+            spec, positions, frame_to_lab, float(np.max(semiaxes)) * scale,
+            "classic",
+        )
 
     if substrate.type == "mesh":
         if isinstance(substrate.init_pos, np.ndarray):
@@ -358,13 +364,15 @@ def _prepare_substrate(substrate, n_walkers, seed, scale, dtype, quiet,
                 )
             if not quiet:
                 print("Finished calculating initial positions")
+        spec = None
         if mesh_engine == "fused":
             from .engine import config as engine_config
             from .engine import fused
 
             cache_key = ("fused", float(scale), engine_config.fused_resort_every)
-            spec = substrate._accel_cache.get(cache_key)
-            if spec is None:
+            if cache_key in substrate._accel_cache:
+                spec = substrate._accel_cache[cache_key]
+            else:
                 try:
                     spec = fused.pack_fused(
                         substrate,
@@ -378,15 +386,15 @@ def _prepare_substrate(substrate, n_walkers, seed, scale, dtype, quiet,
                     spec = None
                 substrate._accel_cache[cache_key] = spec
             if spec is None:
-                mesh_engine = "classic" 
-        else:
+                mesh_engine = "classic"
+        if mesh_engine == "classic" or spec is None:
             cache_key = (float(scale), str(dtype))
             spec = substrate._accel_cache.get(cache_key)
             if spec is None:
                 spec = mesh_accel.pack_mesh(substrate, scale, dtype)
                 substrate._accel_cache[cache_key] = spec
         extent = float(np.max(substrate.voxel_size)) * scale
-        return spec, positions * scale, None, extent
+        return spec, positions * scale, None, extent, mesh_engine
 
     raise ValueError("Incorrect value (%s) for substrate" % substrate)
 
@@ -548,7 +556,7 @@ def simulation(
         mesh_engine = engine_config.mesh_engine(
             dtype, needs_traj=bool(traj), sharded=devices is not None
         )
-    spec, positions_np, frame_to_lab, extent = _prepare_substrate(
+    spec, positions_np, frame_to_lab, extent, mesh_engine = _prepare_substrate(
         substrate, n_walkers, seed, scale, dtype, quiet,
         mesh_engine=mesh_engine,
     )
