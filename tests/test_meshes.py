@@ -86,3 +86,27 @@ def test_float64_mode_physics():
         n_s, 2e-9, g2, dt, substrate, quiet=True, dtype="float32"
     )
     npt.assert_allclose(s64 / n_s, s32 / n_s, atol=0.04)
+
+
+def test_engine_regrids_pathological_cell_width():
+    """When user cells are much narrower than one step, the engine's
+    acceleration grid re-grids (the (1/width + 2)^3 traversal stencil at
+    large dt is pathological); the substrate's own CSR grid is untouched."""
+    import jax.numpy as jnp
+
+    from disimpy_tpu import meshes, substrates
+    from disimpy_tpu.engine import mesh_accel
+
+    vertices, faces = meshes.icosphere(radius=5e-6, subdivisions=1)
+    sub = substrates.mesh(
+        vertices, faces, True, n_sv=np.array([10, 10, 10]), quiet=True
+    )
+    step_l = float(np.sqrt(6 * 2e-9 * 2.1e-3))  # voxel ~2 steps wide
+    spec = mesh_accel.pack_mesh(sub, 1 / step_l, jnp.float32)
+    assert max(spec.n_sv) <= 4  # re-gridded far below the user's 10
+    assert max(spec.spans) <= 4  # sane stencil
+    assert tuple(np.asarray(sub.n_sv)) == (10, 10, 10)  # substrate untouched
+    # and a fine-step case keeps the user's grid
+    step_l = float(np.sqrt(6 * 2e-9 * 8e-5))
+    spec2 = mesh_accel.pack_mesh(sub, 1 / step_l, jnp.float32)
+    assert spec2.n_sv == (10, 10, 10)
