@@ -9,6 +9,7 @@ Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "spin-steps/s", "vs_baseline": N/1e9}
 """
 
+import argparse
 import json
 import sys
 import time
@@ -43,7 +44,7 @@ def build_substrate(step_l):
     return substrate, len(faces)
 
 
-def main(n_spins=524288, n_t=150, n_meas=32):
+def main(n_spins=524288, n_t=150, n_meas=32, profile_dir=None):
     from disimpy_tpu import gradients, simulations
 
     diffusivity = 2e-9
@@ -75,9 +76,18 @@ def main(n_spins=524288, n_t=150, n_meas=32):
     warm = time.time() - t0
     print(f"warm-up (incl. compile): {warm:.1f}s", file=sys.stderr)
 
-    t0 = time.time()
-    run(2)
-    elapsed = time.time() - t0
+    if profile_dir:
+        import jax
+
+        with jax.profiler.trace(profile_dir):
+            t0 = time.time()
+            run(2)
+            elapsed = time.time() - t0
+        print(f"profiler trace written to {profile_dir}", file=sys.stderr)
+    else:
+        t0 = time.time()
+        run(2)
+        elapsed = time.time() - t0
     value = n_spins * n_t / elapsed
     print(
         f"timed run: {elapsed:.2f}s for {n_spins} spins x {n_t} steps",
@@ -96,4 +106,8 @@ def main(n_spins=524288, n_t=150, n_meas=32):
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of the timed run")
+    args = ap.parse_args()
+    main(profile_dir=args.profile)
