@@ -161,3 +161,144 @@ def cylinder_array_mesh(
             all_faces.append(f0 + offset)
             offset += len(v0)
     return np.concatenate(all_vertices), np.concatenate(all_faces)
+
+
+def load_stl(path):
+    """Load a triangular mesh from an STL file (binary or ASCII).
+
+    Returns ``(vertices, faces)`` with duplicate vertices merged (STL
+    stores one independent triangle per facet; simulation substrates need
+    shared vertices so adjacent triangles share edges exactly).
+
+    Parameters
+    ----------
+    path : str
+
+    Returns
+    -------
+    vertices : numpy.ndarray of shape (n_vertices, 3)
+    faces : numpy.ndarray of shape (n_triangles, 3)
+    """
+    with open(path, "rb") as f:
+        head = f.read(5)
+        f.seek(0)
+        if head == b"solid":
+            # Could still be binary (some exporters write "solid" headers):
+            # try ASCII, fall back to binary on parse failure.
+            try:
+                return _dedup_triangles(_read_stl_ascii(f))
+            except ValueError:
+                f.seek(0)
+        return _dedup_triangles(_read_stl_binary(f))
+
+
+def _read_stl_ascii(f):
+    import re
+
+    text = f.read().decode("ascii", errors="replace")
+    coords = re.findall(
+        r"vertex\s+([-\d.eE+]+)\s+([-\d.eE+]+)\s+([-\d.eE+]+)", text
+    )
+    if not coords or len(coords) % 3:
+        raise ValueError("not a valid ASCII STL")
+    tri = np.array(coords, dtype=float).reshape(-1, 3, 3)
+    return tri
+
+
+def _read_stl_binary(f):
+    f.seek(80)
+    (n,) = np.frombuffer(f.read(4), dtype="<u4")
+    data = np.frombuffer(f.read(int(n) * 50), dtype=np.uint8)
+    if data.size != n * 50:
+        raise ValueError("truncated binary STL")
+    rec = data.reshape(int(n), 50)
+    tri = (
+        rec[:, 12:48].copy().view("<f4").reshape(int(n), 3, 3).astype(float)
+    )
+    return tri
+
+
+def _dedup_triangles(tri):
+    flat = tri.reshape(-1, 3)
+    vertices, inverse = np.unique(flat, axis=0, return_inverse=True)
+    faces = inverse.reshape(-1, 3)
+    return vertices, faces
+
+
+def save_stl(path, vertices, faces):
+    """Write a triangular mesh as a binary STL file.
+
+    Parameters
+    ----------
+    path : str
+    vertices : array-like of shape (n_vertices, 3)
+    faces : array-like of shape (n_triangles, 3)
+    """
+    vertices = np.asarray(vertices, dtype=float)
+    faces = np.asarray(faces)
+    tri = vertices[faces]
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    normals = np.cross(e1, e2)
+    norms = np.linalg.norm(normals, axis=1, keepdims=True)
+    normals = normals / np.where(norms == 0, 1.0, norms)
+    n = len(tri)
+    rec = np.zeros(n, dtype=np.dtype(
+        [("normal", "<f4", 3), ("v", "<f4", (3, 3)), ("attr", "<u2")]
+    ))
+    rec["normal"] = normals
+    rec["v"] = tri
+    with open(path, "wb") as f:
+        f.write(b"\0" * 80)
+        f.write(np.uint32(n).tobytes())
+        f.write(rec.tobytes())
+
+
+def load_ply(path):
+    """Load a triangular mesh from an ASCII PLY file.
+
+    Returns ``(vertices, faces)``. Only the x/y/z vertex properties and
+    triangular faces are read; quads are fan-triangulated.
+    """
+    with open(path, "rb") as f:
+        lines = f.read().decode("ascii", errors="replace").splitlines()
+    if not lines or lines[0].strip() != "ply":
+        raise ValueError(f"{path} is not a PLY file")
+    n_vert = n_face = None
+    props = []
+    in_vertex = False
+    i = 1
+    fmt = None
+    while i < len(lines):
+        parts = lines[i].split()
+        i += 1
+        if not parts:
+            continue
+        if parts[0] == "format":
+            fmt = parts[1]
+        elif parts[0] == "element":
+            in_vertex = parts[1] == "vertex"
+            if parts[1] == "vertex":
+                n_vert = int(parts[2])
+            elif parts[1] == "face":
+                n_face = int(parts[2])
+        elif parts[0] == "property" and in_vertex:
+            props.append(parts[-1])
+        elif parts[0] == "end_header":
+            break
+    if fmt != "ascii":
+        raise ValueError("only ASCII PLY files are supported")
+    if n_vert is None or n_face is None:
+        raise ValueError("PLY header missing vertex/face elements")
+    ix, iy, iz = (props.index(a) for a in ("x", "y", "z"))
+    vert_rows = lines[i:i + n_vert]
+    vertices = np.array(
+        [[float(r.split()[j]) for j in (ix, iy, iz)] for r in vert_rows]
+    )
+    faces = []
+    for r in lines[i + n_vert:i + n_vert + n_face]:
+        parts = [int(x) for x in r.split()]
+        k, idx = parts[0], parts[1:]
+        for j in range(1, k - 1):  # fan triangulation
+            faces.append([idx[0], idx[j], idx[j + 1]])
+    return vertices, np.array(faces, dtype=int)

@@ -110,3 +110,46 @@ def test_engine_regrids_pathological_cell_width():
     step_l = float(np.sqrt(6 * 2e-9 * 8e-5))
     spec2 = mesh_accel.pack_mesh(sub, 1 / step_l, jnp.float32)
     assert spec2.n_sv == (10, 10, 10)
+
+
+def test_stl_roundtrip(tmp_path):
+    from disimpy_tpu import meshes
+
+    v, f = meshes.icosphere(radius=5e-6, subdivisions=1)
+    path = str(tmp_path / "m.stl")
+    meshes.save_stl(path, v, f)
+    v2, f2 = meshes.load_stl(path)
+    # Triangle soup equality: same set of triangles (vertex merge may
+    # reorder indices).
+    t1 = np.sort(v[f].reshape(len(f), -1), axis=0)
+    t2 = np.sort(v2[f2].reshape(len(f2), -1), axis=0)
+    np.testing.assert_allclose(t2, t1, rtol=1e-6)
+    # and the loaded mesh builds a working substrate
+    from disimpy_tpu import substrates
+
+    sub = substrates.mesh(v2, f2, True, n_sv=np.array([2, 2, 2]), quiet=True)
+    assert sub.type == "mesh"
+
+
+def test_stl_ascii_and_ply(tmp_path):
+    from disimpy_tpu import meshes
+
+    # hand-written ASCII STL: one unit triangle
+    stl = tmp_path / "a.stl"
+    stl.write_text(
+        "solid t\n facet normal 0 0 1\n  outer loop\n"
+        "   vertex 0 0 0\n   vertex 1 0 0\n   vertex 0 1 0\n"
+        "  endloop\n endfacet\nendsolid t\n"
+    )
+    v, f = meshes.load_stl(str(stl))
+    assert len(f) == 1 and len(v) == 3
+    # hand-written ASCII PLY: unit square as a quad (fan-triangulated)
+    ply = tmp_path / "a.ply"
+    ply.write_text(
+        "ply\nformat ascii 1.0\nelement vertex 4\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "element face 1\nproperty list uchar int vertex_indices\n"
+        "end_header\n0 0 0\n1 0 0\n1 1 0\n0 1 0\n4 0 1 2 3\n"
+    )
+    v, f = meshes.load_ply(str(ply))
+    assert v.shape == (4, 3) and f.shape == (2, 3)
