@@ -12,12 +12,15 @@ with ``pallas_interpret`` on CPU), or False (always use the classic path).
 
 ``fused_resort_every``: epoch length J of the fused engine (steps between
 spin re-sorts; the packed table's dilation depth). 1..engine.fused.MAX_J.
+Measured on the 102k-triangle bench at 512k spins: J=2 is optimal (82.6
+ms/step vs 104.5 at J=4 and 89.3 at J=1) — candidate rows thin faster
+than the amortized epoch sort grows.
 """
 
 use_pallas = None
 pallas_interpret = False
 use_fused = None
-fused_resort_every = 4
+fused_resort_every = 2
 
 
 def _on_tpu():
