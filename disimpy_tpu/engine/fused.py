@@ -222,7 +222,9 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
         h.update(np.ascontiguousarray(substrate.faces).tobytes())
         h.update(np.asarray(
             [scale, resort_every, float(substrate.perm_prob),
-             float(substrate.periodic), 3.0]  # 3.0 = pack format version
+             float(substrate.periodic),
+             -1.0 if cell_steps is None else float(cell_steps),
+             float(bytes_limit), 4.0]  # 4.0 = pack format version
         ).tobytes())
         cache_dir = os.path.join(
             os.path.expanduser("~"), ".cache", "disimpy_tpu"
