@@ -171,6 +171,31 @@ def _kernel(starts_ref, packed_ref, nexts_ref, pi_ref, pf_ref, rows_ref,
         it, n_active = carry
         return n_active > 0
 
+    def _run_chunks(i, slot, nch, a_mask):
+        st_rows = st[...]
+
+        def chunk_fold(j, carry):
+            d0, nx0, ny0, nz0 = carry
+            d, nx, ny, nz = _mt_tile(st_rows, arena[slot, j])
+            better = d < d0
+            return (
+                jnp.where(better, d, d0),
+                jnp.where(better, nx, nx0),
+                jnp.where(better, ny, ny0),
+                jnp.where(better, nz, nz0),
+            )
+
+        init = (
+            jnp.full((TILE, 1), _INF, jnp.float32),
+            jnp.zeros((TILE, 1), jnp.float32),
+            jnp.zeros((TILE, 1), jnp.float32),
+            jnp.zeros((TILE, 1), jnp.float32),
+        )
+        d, nx, ny, nz = lax.fori_loop(0, nch, chunk_fold, init)
+        cur = best[...]
+        new = jnp.concatenate((d, nx, ny, nz, cur[:, 4:8]), axis=1)
+        best[...] = jnp.where(a_mask & (d < cur[:, 0:1]), new, cur)
+
     def bounce_body(carry):
         it, _ = carry
         best[...] = jnp.concatenate(
@@ -198,37 +223,20 @@ def _kernel(starts_ref, packed_ref, nexts_ref, pi_ref, pf_ref, rows_ref,
 
             @pl.when(nch > 0)
             def _():
+                # Always consume the semaphore (the DMA was issued by the
+                # previous run's prefetch), but skip the triangle math when
+                # no lane of this run is still active — on bounce passes
+                # beyond the second, almost every run is settled.
                 wait(i, slot)
                 in_run = (lanes >= i) & (lanes < run_end)
                 a_mask = in_run & (act[...] > 0)
-                st_rows = st[...]
+                n_run_act = jnp.sum(
+                    jnp.where(a_mask, 1.0, 0.0)
+                ).astype(jnp.int32)
 
-                # Fold the closest hit across chunks in register-carried
-                # values; best is written once per run (a per-chunk VMEM
-                # read-modify-write costs as much as the triangle math).
-                def chunk_fold(j, carry):
-                    d0, nx0, ny0, nz0 = carry
-                    d, nx, ny, nz = _mt_tile(st_rows, arena[slot, j])
-                    better = d < d0
-                    return (
-                        jnp.where(better, d, d0),
-                        jnp.where(better, nx, nx0),
-                        jnp.where(better, ny, ny0),
-                        jnp.where(better, nz, nz0),
-                    )
-
-                init = (
-                    jnp.full((TILE, 1), _INF, jnp.float32),
-                    jnp.zeros((TILE, 1), jnp.float32),
-                    jnp.zeros((TILE, 1), jnp.float32),
-                    jnp.zeros((TILE, 1), jnp.float32),
-                )
-                d, nx, ny, nz = lax.fori_loop(0, nch, chunk_fold, init)
-                cur = best[...]
-                new = jnp.concatenate((d, nx, ny, nz, cur[:, 4:8]), axis=1)
-                best[...] = jnp.where(
-                    a_mask & (d < cur[:, 0:1]), new, cur
-                )
+                @pl.when(n_run_act > 0)
+                def _():
+                    _run_chunks(i, slot, nch, a_mask)
 
             return (run_end, r + 1)
 
