@@ -46,6 +46,12 @@ def save_checkpoint(path, positions, seed, steps_done, extra=None):
     positions = np.asarray(positions, dtype=float)
     if positions.ndim != 2 or positions.shape[1] != 3:
         raise ValueError("positions must have shape (n_walkers, 3)")
+    # np.savez appends ".npz" when the suffix is missing, which would make
+    # load_checkpoint(path) fail for the very path save_checkpoint accepted;
+    # normalize here so save/load are symmetric for any path.
+    path = str(path)
+    if not path.endswith(".npz"):
+        path += ".npz"
     np.savez(
         path,
         magic=_MAGIC,
@@ -65,6 +71,9 @@ def load_checkpoint(path):
     ``resume_seed`` (the seed to pass to the next segment's
     ``simulation()``), and ``extra``.
     """
+    path = str(path)
+    if not path.endswith(".npz"):
+        path += ".npz"
     with np.load(path, allow_pickle=False) as data:
         if str(data["magic"]) != _MAGIC:
             raise ValueError(f"{path} is not a disimpy_tpu checkpoint")
@@ -86,9 +95,12 @@ def resume_seed(seed, steps_done):
     range ``simulation()`` accepts; distinct from ``seed`` so resumed
     segments draw independent streams.
     """
-    x = (np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
-         + np.uint64(steps_done) * np.uint64(0xBF58476D1CE4E5B9))
-    x ^= x >> np.uint64(31)
-    x *= np.uint64(0x94D049BB133111EB)
-    x ^= x >> np.uint64(29)
-    return int(x & np.uint64(0x7FFFFFFF))
+    # splitmix64-style mix in plain Python ints masked to 64 bits: the
+    # wraparound is intended, and doing it in numpy uint64 scalars emits
+    # RuntimeWarnings that break warnings-as-errors setups.
+    m = 0xFFFFFFFFFFFFFFFF
+    x = (int(seed) * 0x9E3779B97F4A7C15 + int(steps_done) * 0xBF58476D1CE4E5B9) & m
+    x ^= x >> 31
+    x = (x * 0x94D049BB133111EB) & m
+    x ^= x >> 29
+    return int(x & 0x7FFFFFFF)

@@ -31,10 +31,19 @@ def _on_tpu():
     return jax.default_backend() in ("tpu", "axon")
 
 
-def mesh_query_backend(spec, dtype):
-    """Resolve which nearest-hit implementation the classic path uses."""
+def mesh_query_backend(spec, dtype, sharded=False):
+    """Resolve which nearest-hit implementation the classic path uses.
+
+    Sharded runs always use the XLA query: the Pallas sorted-run query
+    sorts the whole ensemble by grid cell, and under GSPMD that global
+    ``lax.sort`` would shuffle spins across devices every bounce — a
+    combination that is neither tested nor performant, so it is not
+    selectable at all.
+    """
     import jax.numpy as jnp
 
+    if sharded:
+        return "xla"
     halo = tuple(spec.spans) == (1, 1, 1)
     if use_pallas is False:
         return "xla"

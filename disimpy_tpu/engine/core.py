@@ -24,7 +24,7 @@ from . import rng
 from .stepping import STEP_FUNCTIONS
 
 
-@partial(jax.jit, static_argnames=("kind", "collect_positions"))
+@partial(jax.jit, static_argnames=("kind", "collect_positions", "sharded"))
 def run_window(
     kind,
     spec,
@@ -37,6 +37,7 @@ def run_window(
     epsilon,
     max_iter,
     collect_positions=False,
+    sharded=False,
 ):
     """Advance the ensemble through the time steps ``ts``.
 
@@ -70,6 +71,9 @@ def run_window(
     collect_positions : bool
         If True, also return the positions after every step of the window
         (for trajectory output).
+    sharded : bool
+        True when the arrays are sharded over a device mesh; gates the
+        mesh query off backends that are unsafe under GSPMD.
 
     Returns
     -------
@@ -78,6 +82,8 @@ def run_window(
         ``collect_positions`` else None.
     """
     step_fn = STEP_FUNCTIONS[kind]
+    if kind == "mesh":
+        step_fn = partial(step_fn, sharded=sharded)
 
     def body(carry, xs):
         positions, phases, iter_exc = carry

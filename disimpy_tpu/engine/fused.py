@@ -62,7 +62,7 @@ TABLE_BYTES_LIMIT = int(1.5e9)
     _register,
     data_fields=["table", "cell_start", "cell_packed", "voxel_size",
                  "sv_width", "perm_prob"],
-    meta_fields=["n_sv", "resort_every", "seed_salt"],
+    meta_fields=["n_sv", "resort_every", "seed_salt", "eps_budget"],
 )
 @dataclasses.dataclass(frozen=True)
 class FusedMeshSpec:
@@ -93,6 +93,11 @@ class FusedMeshSpec:
     seed_salt : int
         Mixed into the in-kernel RNG key so mesh draws are independent of
         the host-level threefry streams.
+    eps_budget : float
+        Largest per-collision surface offset (step-length units) whose
+        worst-case accumulated drift the table's dilation margin still
+        covers; the driver falls back to the classic engine when the run's
+        effective epsilon exceeds it.
     """
 
     table: jnp.ndarray
@@ -104,6 +109,7 @@ class FusedMeshSpec:
     n_sv: tuple
     resort_every: int
     seed_salt: int
+    eps_budget: float
 
 
 # ---------------------------------------------------------------------------
@@ -111,14 +117,25 @@ class FusedMeshSpec:
 # ---------------------------------------------------------------------------
 
 
-def _dilations(resort_every):
+# Per-step collision-bounce budget the dilation margin provisions for:
+# each reflection can offset a spin by up to eps along the surface normal,
+# so a pathological grazing spin drifts up to EPS_BOUNCES * eps per step
+# beyond its path length. 64 covers every bounce count observed in the
+# physics tests by a wide margin; runs whose eps exceeds the provisioned
+# budget fall back to the classic engine (see the driver).
+EPS_BOUNCES = 64
+
+
+def _dilations(resort_every, eps_margin=0.0):
     """Dilation radius (step-length units) covering epoch step s.
 
     A spin is at most s steps from its anchor cell when step s starts and
-    its bounce segments extend at most one more step; the 3% + 0.1 margin
-    absorbs the per-bounce epsilon offsets and float32 rounding.
+    its bounce segments extend at most one more step; the 3% + 0.1 term
+    absorbs float32 rounding, and ``eps_margin`` (= EPS_BOUNCES * the
+    provisioned per-bounce offset) absorbs the accumulated per-bounce
+    epsilon drift, which scales with geometry extent in float32.
     """
-    return [(s + 1) * 1.03 + 0.1 for s in range(resort_every)]
+    return [(s + 1) * (1.03 + eps_margin) + 0.1 for s in range(resort_every)]
 
 
 def _candidate_pairs(tri_aabb_min, tri_aabb_max, n_sv, sv_width, voxel_size,
@@ -224,7 +241,7 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
             [scale, resort_every, float(substrate.perm_prob),
              float(substrate.periodic),
              -1.0 if cell_steps is None else float(cell_steps),
-             float(bytes_limit), 4.0]  # 4.0 = pack format version
+             float(bytes_limit), 5.0]  # 5.0 = pack format version
         ).tobytes())
         cache_dir = os.path.join(
             os.path.expanduser("~"), ".cache", "disimpy_tpu"
@@ -253,6 +270,14 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
     aabb_min = tri.min(axis=1)
     aabb_max = tri.max(axis=1)
 
+    # Per-bounce epsilon the dilation margin provisions for: the f32 floor
+    # at the geometry's own extent, or at ~200 step-lengths of coordinate
+    # magnitude (covering periodic runs up to ~4e3 steps), whichever is
+    # larger. Runs with a larger effective epsilon (longer periodic runs,
+    # huge user-supplied epsilon) fall back to the classic engine.
+    extent_steps = float(np.max(voxel_size))
+    eps_budget = 64.0 * float(np.finfo(np.float32).eps) * max(extent_steps, 200.0)
+
     if cell_steps is not None:
         widths = [float(cell_steps)]
     else:
@@ -261,7 +286,7 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
 
     n_hint = 2.0e5  # expected spin count for the run-length penalty
     for J in range(resort_every, 0, -1):
-        dil = _dilations(J)
+        dil = _dilations(J, eps_margin=EPS_BOUNCES * eps_budget)
         best = None
         worsened = 0
         for width in widths:
@@ -326,6 +351,7 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
                         "n_sv": n_sv_t,
                         "resort_every": int(J),
                         "seed_salt": int(seed_salt),
+                        "eps_budget": float(eps_budget),
                     },
                 }
                 with open(cache_path, "wb") as f:
@@ -342,6 +368,7 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
                 n_sv=n_sv_t,
                 resort_every=int(J),
                 seed_salt=int(seed_salt),
+                eps_budget=float(eps_budget),
             )
     raise ValueError(
         "fused mesh table does not fit the chunk/memory budgets for any "

@@ -30,7 +30,7 @@ from . import config, geometry, mesh_accel, rng
 from .specs import CylinderSpec, EllipsoidSpec, FreeSpec, MeshSpec, SphereSpec
 
 
-def _make_mesh_query(spec, dtype):
+def _make_mesh_query(spec, dtype, sharded=False):
     """Pick the nearest-hit implementation for this spec/backend and return
     a ``query(r0, direction, rem) -> (min_d, normal)`` closure operating on
     (n, 3) arrays (the mesh query's internal layout).
@@ -41,7 +41,7 @@ def _make_mesh_query(spec, dtype):
     spins slip through shared mesh edges (observed as ~1-per-1e7-spin-steps
     leaks through closed surfaces)."""
     edge_tol = 1e-5 if jnp.dtype(dtype) == jnp.float32 else 1e-12
-    if config.mesh_query_backend(spec, dtype) == "pallas":
+    if config.mesh_query_backend(spec, dtype, sharded=sharded) == "pallas":
         from . import pallas_mesh
 
         table = pallas_mesh.pallas_table(spec)
@@ -189,7 +189,7 @@ def _resolve_mesh_hits(spec, r0, direction, rem, d, normal, hit, u, epsilon):
     return r0, direction, rem
 
 
-def step_mesh(positions, key, spec: MeshSpec, epsilon, max_iter):
+def step_mesh(positions, key, spec: MeshSpec, epsilon, max_iter, sharded=False):
     """Diffusion restricted by a triangle mesh (reference :878-1013).
 
     Per bounce: query the acceleration grid for the closest forward
@@ -209,7 +209,7 @@ def step_mesh(positions, key, spec: MeshSpec, epsilon, max_iter):
     n = positions.shape[1]
     dtype = positions.dtype
     slack = _hit_slack(dtype)
-    query = _make_mesh_query(spec, dtype)
+    query = _make_mesh_query(spec, dtype, sharded=sharded)
     direction = rng.random_unit_steps(rng.bounce_key(key, 0), n, dtype).T
     positions = positions.T
     rem = jnp.ones(n, dtype=dtype)

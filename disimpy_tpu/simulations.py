@@ -575,6 +575,20 @@ def simulation(
     )
     eps_eff = _effective_epsilon(epsilon, scale, extent, n_t, dtype, bounded)
 
+    # The fused table's dilation margin provisions for a bounded per-bounce
+    # epsilon drift (engine/fused.py EPS_BOUNCES); a larger effective
+    # epsilon (very long periodic runs, large user epsilon) could let a
+    # many-bounce spin drift past its candidate row, so such runs use the
+    # classic engine, whose per-bounce query has no drift budget.
+    if mesh_engine == "fused" and eps_eff > float(spec.eps_budget):
+        mesh_engine = "classic"
+        cache_key = (float(scale), str(dtype))
+        classic_spec = substrate._accel_cache.get(cache_key)
+        if classic_spec is None:
+            classic_spec = mesh_accel.pack_mesh(substrate, scale, dtype)
+            substrate._accel_cache[cache_key] = classic_spec
+        spec = classic_spec
+
     # --- Device placement / sharding.
     if isinstance(devices, jax.sharding.Mesh):
         mesh = devices
@@ -649,6 +663,7 @@ def simulation(
                 epsilon_dev,
                 max_iter_dev,
                 collect_positions=bool(traj),
+                sharded=mesh is not None,
             )
         if traj:
             collected = np.asarray(collected)
@@ -671,10 +686,20 @@ def simulation(
         )
 
     if all_signals:
-        # np.array (not asarray): jax arrays alias to read-only buffers
-        phases_np = np.array(phases[:, :n_walkers], dtype=float)
-        phases_np[:, np.asarray(iter_exc[:n_walkers])] = np.nan
-        signals = np.real(np.exp(1j * phases_np))
+        # Per-walker signals are inherently an (n_meas, n_walkers) fetch;
+        # compute Re exp(i phi) and the NaN masking on device so the
+        # transfer is the final engine-dtype matrix, not float64 phases.
+        fetch_bytes = n_meas * n_walkers * jnp.dtype(dtype).itemsize
+        if fetch_bytes > 256e6:
+            warnings.warn(
+                "all_signals=True fetches the full per-walker signal "
+                f"matrix ({fetch_bytes / 1e9:.1f} GB) from the device; "
+                "consider fewer walkers or the total signal instead"
+            )
+        signals = np.asarray(
+            engine_core.per_spin_signal(phases, iter_exc)[:, :n_walkers],
+            dtype=float,
+        )
     else:
         signals = np.asarray(
             engine_core.reduce_signal(phases, iter_exc, n_valid=n_walkers),
