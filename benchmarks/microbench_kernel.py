@@ -372,23 +372,209 @@ def j_mxu(m, k, n, reps=50_000):
     )
 
 
+# ------------------------------------------------------- K: strobe cost
+def k_strobe(reps=20_000):
+    """while_loop whose condition reads a vector reduction (the per-pass
+    'any spin still active' check): cost of the vector->scalar strobe."""
+
+    def kern(x_ref, o_ref):
+        def cond(carry):
+            i, acc = carry
+            return (i < reps) & (jnp.sum(acc) > 0)
+
+        def body(carry):
+            i, acc = carry
+            return (i + 1, acc * 1.0000001)
+
+        _, acc = lax.while_loop(cond, body, (jnp.int32(0), x_ref[...]))
+        o_ref[...] = acc
+
+    @jax.jit
+    def run(x):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        )(x)
+
+    x = jnp.ones((8, 128), jnp.float32)
+    bench(f"K while_loop vector-sum cond x{reps}", run, x,
+          iters_per_call=reps)
+
+
+# ------------------------------------------------- L: full fold (realistic)
+def l_fold_full(width, reps=200_000):
+    """Wide MT fold with the full accept DAG + best-d + normal pick update,
+    exactly the per-fold work of the v2 kernel."""
+
+    def kern(st_ref, tri_ref, o_ref):
+        TILE = 128
+
+        def body(i, carry):
+            st, bd, bn1, bn2, bn3 = carry
+            r0 = [st[:, j][:, None] for j in range(3)]
+            dirn = [st[:, 3 + j][:, None] for j in range(3)]
+            tri = tri_ref[...]
+            A = [tri[j, :][None, :] for j in range(3)]
+            E1 = [tri[3 + j, :][None, :] for j in range(3)]
+            E2 = [tri[6 + j, :][None, :] for j in range(3)]
+            T = [r0[j] - A[j] for j in range(3)]
+
+            def cross(a, b):
+                return (
+                    a[1] * b[2] - a[2] * b[1],
+                    a[2] * b[0] - a[0] * b[2],
+                    a[0] * b[1] - a[1] * b[0],
+                )
+
+            def dot(a, b):
+                return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+            P = cross(dirn, E2)
+            Q = cross(T, E1)
+            det = dot(P, E1)
+            inv = 1.0 / det
+            t = inv * dot(Q, E2)
+            u = inv * dot(P, T)
+            v = inv * dot(Q, dirn)
+            ok = (
+                (det != 0)
+                & (u >= -1e-5)
+                & (u <= 1 + 1e-5)
+                & (v >= -1e-5)
+                & (u + v <= 1 + 1e-5)
+                & (t > 0)
+            )
+            t = jnp.where(ok, t, jnp.float32(np.inf))
+            d = jnp.min(t, axis=1, keepdims=True)
+            is_min = t == d
+            lane = lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            min_lane = jnp.min(
+                jnp.where(is_min, lane, jnp.int32(t.shape[1])),
+                axis=1,
+                keepdims=True,
+            )
+            sel = is_min & (lane == min_lane)
+
+            def pick(row):
+                comp = tri[9 + row, :][None, :]
+                return jnp.sum(
+                    jnp.where(sel, comp, 0.0), axis=1, keepdims=True
+                )
+
+            better = d < bd
+            bd = jnp.where(better, d, bd)
+            bn1 = jnp.where(better, pick(0), bn1)
+            bn2 = jnp.where(better, pick(1), bn2)
+            bn3 = jnp.where(better, pick(2), bn3)
+            st = st + 1e-7 * jnp.minimum(bd, 1.0)  # anti-hoist
+            return (st, bd, bn1, bn2, bn3)
+
+        z = jnp.zeros((128, 1), jnp.float32)
+        init = (st_ref[...], jnp.full((128, 1), np.inf, jnp.float32), z, z, z)
+        st, bd, bn1, bn2, bn3 = lax.fori_loop(0, reps, body, init)
+        o_ref[...] = bd + bn1 + bn2 + bn3 + st[:, 0:1]
+
+    @jax.jit
+    def run(st, tri):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((128, 1), jnp.float32),
+        )(st, tri)
+
+    st = jax.random.uniform(jax.random.PRNGKey(0), (128, 8))
+    tri = jax.random.uniform(jax.random.PRNGKey(1), (16, width))
+    bench(
+        f"L full fold 128x{width} x{reps}",
+        run,
+        st,
+        tri,
+        pairs_per_call=128 * width * reps,
+    )
+
+
+# ------------------------------------------------- M: pipelined DMA issue
+def m_dma_pipelined(reps=100_000, depth=4):
+    """DMA loop with issue running `depth` ahead of wait: per-iteration cost
+    when transfers overlap (the v2 arena-fill pattern)."""
+    def kern(tab_ref, o_ref, arena, sem):
+        def issue(i):
+            slot = lax.rem(i, jnp.int32(depth))
+            row = lax.rem(i * 7, jnp.int32(64))
+            pltpu.make_async_copy(
+                tab_ref.at[pl.ds(row * 16, 16)], arena.at[slot], sem.at[slot]
+            ).start()
+
+        def wait(i):
+            slot = lax.rem(i, jnp.int32(depth))
+            row = lax.rem(i * 7, jnp.int32(64))
+            pltpu.make_async_copy(
+                tab_ref.at[pl.ds(row * 16, 16)], arena.at[slot], sem.at[slot]
+            ).wait()
+
+        def prime(i, _):
+            issue(i)
+            return 0
+
+        lax.fori_loop(0, depth - 1, prime, 0)
+
+        def body(i, acc):
+            issue(i + depth - 1)
+            wait(i)
+            slot = lax.rem(i, jnp.int32(depth))
+            return acc + arena[slot, 0, 0]
+
+        acc = lax.fori_loop(0, reps - depth + 1, body, jnp.float32(0.0))
+
+        def drain(i, acc):
+            wait(reps - depth + 1 + i)
+            return acc
+
+        acc = lax.fori_loop(0, depth - 1, drain, acc)
+        o_ref[...] = jnp.full((8, 128), acc, jnp.float32)
+
+    @jax.jit
+    def run(tab):
+        return pl.pallas_call(
+            kern,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((depth, 16, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((depth,)),
+            ],
+        )(tab)
+
+    tab = jnp.ones((64 * 16, 128), jnp.float32)
+    bench(f"M DMA-8KB pipelined depth={depth} x{reps}", run, tab,
+          iters_per_call=reps)
+
+
 if __name__ == "__main__":
+    import sys
     print(f"backend: {jax.default_backend()}", flush=True)
     floor_bench()
+    if "--quick" in sys.argv:
+        sys.exit(0)
+    if "--round3" in sys.argv:
+        k_strobe()
+        l_fold_full(512)
+        l_fold_full(1024, reps=100_000)
+        m_dma_pipelined()
+        sys.exit(0)
     a_grid_empty()
     b_loop_vec(1)
     b_loop_vec(8, reps=400_000)
     c_loop_dma()
-    d_mt_vpu(128)
-    d_mt_vpu(512, reps=8_000)
-    d_mt_vpu(1024, reps=4_000)
-    f_mt_mxu(32)
-    f_mt_mxu(32, with_pick=False)
-    f_mt_mxu(128, reps=10_000)
-    h_threefry((1, 128))
-    h_threefry((8, 128))
+    d_mt_vpu(128, reps=2_000_000)
+    d_mt_vpu(512, reps=500_000)
+    d_mt_vpu(1024, reps=250_000)
+    f_mt_mxu(32, reps=2_000_000)
+    f_mt_mxu(32, reps=2_000_000, with_pick=False)
+    f_mt_mxu(128, reps=500_000)
+    h_threefry((1, 128), reps=5_000_000)
+    h_threefry((8, 128), reps=5_000_000)
     i_transpose()
-    j_mxu(128, 128, 128)
-    j_mxu(128, 16, 128)
-    j_mxu(512, 16, 128, reps=20_000)
-    j_mxu(2048, 16, 128, reps=10_000)
+    j_mxu(128, 128, 128, reps=1_000_000)
+    j_mxu(128, 16, 128, reps=2_000_000)
+    j_mxu(512, 16, 128, reps=1_000_000)
+    j_mxu(2048, 16, 128, reps=500_000)

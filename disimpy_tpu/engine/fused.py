@@ -21,10 +21,13 @@ module restructures the mesh hot path around three ideas:
    cell, step J-1 the full dilation. Early epoch steps — the common case —
    do a fraction of the worst-case work.
 
-3. **One kernel per step, all bounces inside** (pallas_fused.py): the
-   kernel draws per-spin directions and permeability uniforms from a
-   counter-based threefry keyed by the spin's carried global id (krng.py),
-   so physics is independent of sort order, padding, and sharding.
+3. **One kernel per epoch, all steps and bounces inside** (pallas_fused.py):
+   candidate rows are DMA'd into a resident arena once per epoch and reused
+   across every step and bounce pass; permeability uniforms come from an
+   in-kernel counter-based threefry keyed by the spin's carried global id
+   (krng.py), so physics is independent of sort order, padding, and
+   sharding. The kernel returns per-step positions and the epoch's phase
+   delta is two matmuls.
 
 The phase accumulators ride the epoch sort as payload (order changes only
 at epoch boundaries); positions, ids and the iter_exc flag ride alongside.
@@ -71,11 +74,13 @@ class FusedMeshSpec:
     Attributes
     ----------
     table : jnp.ndarray
-        (total_chunks, 16, 128) float32. Chunk rows 0-8 hold A, E1, E2
-        (first corner and the two edges, step-length units, pre-shifted by
-        the periodic image offset); rows 9-11 the unit normal; rows 12-15
-        zero padding. Triangles occupy lanes; all-zero padding lanes are
-        rejected by the intersection test (det == 0).
+        (total_chunks, 16, 128) float32 feature-form triangle records
+        (step-length units, pre-shifted by the periodic image offset):
+        rows 0-2 the raw normal N = E1 x E2, row 3 A.N, rows 4-6 E2,
+        rows 7-9 E2 x A, rows 10-12 E1, rows 13-15 A x E1 — the exact
+        coefficients that turn the Moller-Trumbore det/t/u/v into dot
+        products (pallas_fused._fold_half). Triangles occupy lanes;
+        all-zero padding lanes are rejected by det == 0.
     cell_start : jnp.ndarray
         (n_cells,) int32: first chunk index of each cell's row.
     cell_packed : jnp.ndarray
@@ -241,7 +246,7 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
             [scale, resort_every, float(substrate.perm_prob),
              float(substrate.periodic),
              -1.0 if cell_steps is None else float(cell_steps),
-             float(bytes_limit), 5.0]  # 5.0 = pack format version
+             float(bytes_limit), 6.0]  # 6.0 = pack format version
         ).tobytes())
         cache_dir = os.path.join(
             os.path.expanduser("~"), ".cache", "disimpy_tpu"
@@ -478,16 +483,18 @@ def _build_table(tri, aabb_min, aabb_max, n_sv, sv_width, voxel_size, dil,
         # checks the exact limit on the returned table).
         return None
 
-    # Records: A, E1, E2, unit normal.
+    # Feature-form records (see pallas_fused._fold_half): det, t, u, v of
+    # Moller-Trumbore become dot products of per-spin features against
+    # [N = E1 x E2 (raw), A.N, E2, E2 x A, E1, A x E1] — 16 rows exactly.
+    # All-zero padding lanes give N = 0 => det = 0 => rejected.
     A = tri_shifted[:, 0, :]
     E1 = tri_shifted[:, 1, :] - A
     E2 = tri_shifted[:, 2, :] - A
-    normal = np.cross(E1, E2)
-    norms = np.linalg.norm(normal, axis=1, keepdims=True)
-    normal = normal / np.where(norms == 0, 1.0, norms)
-    rec = np.concatenate(
-        (A, E1, E2, normal, np.zeros((len(A), 4))), axis=1
-    ).astype(np.float32)
+    N = np.cross(E1, E2)
+    AN = np.sum(A * N, axis=1, keepdims=True)
+    EA = np.cross(E2, A)
+    AE = np.cross(A, E1)
+    rec = np.concatenate((N, AN, E2, EA, E1, AE), axis=1).astype(np.float32)
 
     row_start = np.concatenate(([0], np.cumsum(per_cell)[:-1]))
     slot = np.arange(len(cell_i)) - row_start[cell_i]
@@ -624,31 +631,33 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
         next_end = _run_ends(cell_s)
         ids_s = idexc_s >> 1
 
-        def step(c, xs_s):
-            pos_s, dphi, exc_bits = c
-            s, g_t = xs_s
-            t = t_base + s
-            valid = t < t0_val + n_t
-            direction = krng.unit_directions(seed_k, t, ids_s, dtype)
-            new_pos, exc_t = pallas_fused.fused_step(
-                spec, pos_s, direction, ids_s, start_s, packed_s, next_end,
-                s, t, seed_k, epsilon, max_iter, interpret=interpret,
-            )
-            pos_s = jnp.where(valid, new_pos, pos_s)
-            exc_bits = exc_bits | jnp.where(valid, exc_t, False)
-            contrib = lax.dot(
-                g_t.astype(dtype), pos_s + shiftvox_s,
-                preferred_element_type=dphi.dtype,
-            )
-            dphi = jnp.where(valid, dphi + contrib, dphi)
-            return (pos_s, dphi, exc_bits), None
+        # Per-step unit directions for the whole epoch (id-keyed streams:
+        # identical values wherever the spin sits in the sorted ensemble).
+        dirs = jax.vmap(
+            lambda s: krng.unit_directions(seed_k, t_base + s, ids_s, dtype)
+        )(jnp.arange(J))
 
-        dphi0 = jnp.zeros((m_pad, n), phases.dtype)
-        (pos_s, dphi, exc_bits), _ = lax.scan(
-            step, (pos_s, dphi0, jnp.zeros(n, bool)),
-            (jnp.arange(J), g_e),
+        # One kernel launch resolves all J steps' bounces (pallas_fused).
+        n_valid_steps = jnp.minimum(t0_val + n_t - t_base, J)
+        pos_steps, exc_bits = pallas_fused.fused_epoch(
+            spec, pos_s, dirs, ids_s, start_s, packed_s, next_end,
+            t_base, n_valid_steps, seed_k, epsilon, max_iter,
+            interpret=interpret,
         )
+        pos_s = pos_steps[-1]
         idexc_s = idexc_s | exc_bits.astype(jnp.int32)
+
+        # Phase accrual for the whole epoch in two matmuls:
+        # dphi = sum_s g_s . (pos_s + shift) = G_flat @ P + (sum_s g_s) @ S
+        # (steps past the window have zero g rows, so they contribute 0).
+        g_flat = g_e.transpose(1, 0, 2).reshape(m_pad, 3 * J).astype(dtype)
+        P = pos_steps.reshape(3 * J, n)
+        dphi = lax.dot(
+            g_flat, P, preferred_element_type=phases.dtype
+        ) + lax.dot(
+            g_e.sum(axis=0).astype(dtype), shiftvox_s,
+            preferred_element_type=phases.dtype,
+        )
 
         # Permute the epoch's phase delta back to original spin order.
         keys = jnp.broadcast_to(ids_s, (G, n))

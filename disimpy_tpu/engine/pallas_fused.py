@@ -1,28 +1,38 @@
-"""Pallas TPU kernel: one full multi-bounce mesh time step per launch.
+"""Pallas TPU kernel: a full J-step epoch of mesh physics per launch.
 
-One kernel invocation advances a TILE-spin tile through an entire time
-step: per bounce pass it walks the tile's sorted runs (spins sharing an
-anchor cell), copies each run's triangle chunks with a single DMA (issued
-one run ahead so transfers overlap compute), evaluates Moller-Trumbore for
-the WHOLE tile against each chunk (lanes outside the run are masked — on
-TPU, wide masked vector ops beat fine-grained loops: a Mosaic loop
-iteration costs ~0.25 us of scalar overhead, so the kernel is structured
-for the fewest possible iterations rather than the least arithmetic), then
-resolves reflect-or-cross for all lanes in one vector phase with an
-in-kernel counter-based uniform (krng threefry keyed by the spin's carried
-global id).
+One kernel invocation advances a TILE-spin tile through all J time steps
+of an epoch (spins sorted by anchor cell, engine/fused.py). Design points,
+each driven by measurements on the target hardware
+(benchmarks/microbench_kernel.py):
 
-This restores the reference's per-thread locality
-(disimpy/simulations.py:878-1013: one CUDA thread resolves all of its
-walker's bounces with no global synchronization); round 1 paid ~14 XLA
-round trips per time step instead.
+- **Resident candidate arena.** Each run's candidate row is DMA'd from HBM
+  once per *epoch* (pipelined, ~70 ns/issue) and reused across every step
+  and bounce pass; the previous kernel re-streamed rows per pass and the
+  ~0.4 us serial DMA latency dominated its fixed floor.
 
-Layout: spins in sublanes (TILE = 128 rows), triangles in lanes
-(KCHUNK = 128 per chunk). Triangle records are (16, 128) chunks holding
-A, E1, E2 (corner + edges) and the unit normal. The spins arrive sorted by
-anchor cell; run boundaries, per-run chunk starts, and bit-packed per-step
-chunk counts are precomputed per epoch (engine/fused.py). Runs with no
-triangles skip both DMA and compute.
+- **Union folds, no masking.** Every table entry is real geometry (periodic
+  images are whole-voxel shifts, valid anywhere in wrapped coordinates), so
+  the whole tile is tested against the union of its runs' rows with no
+  per-run lane masks: extra tests are only wasted lanes, never wrong
+  physics, and a spin's own row is always a subset of the union.
+
+- **Feature-form Moller-Trumbore.** The table stores per-triangle vectors
+  [N = E1 x E2, A.N, E2, E2 x A, E1, A x E1] so that det, t, u, v are
+  pure dot products against per-spin features (d, r0, r0 x d): ~29
+  elementwise ops per spin-triangle pair vs ~58 for the corner/edge form.
+  Per-tile re-centering (subtracting a nearby origin from both spins and
+  the affine table rows) bounds the cancellation error of the triple
+  -product differences to ~eps_f32 * tile extent.
+
+- **Deferred argmin.** Per chunk the kernel only min-accumulates distances
+  and conditionally latches the winning normal into (TILE, chunk-width)
+  accumulators (4 extra ops/pair); the expensive lane reduction + tie-break
+  + normal pick runs once per bounce pass, not once per chunk.
+
+Reference behavior matched: disimpy/simulations.py:878-1013
+(_cuda_step_mesh resolves all of a walker's bounces locally with no global
+synchronization; this kernel restores that locality for J steps at a time
+under a data-parallel layout).
 """
 
 from functools import partial
@@ -40,219 +50,215 @@ from .fused import BITS, CH_MAX as _CH_MAX
 TILE = 128
 KCHUNK = 128
 CH_MAX = _CH_MAX  # max chunks per cell row (pack_fused enforces)
-CH_SMALL = 8  # small-row DMA size class
+ARENA_CH = 64  # resident arena capacity (chunks); windows split bigger demand
 EDGE_TOL = np.float32(1e-5)  # barycentric leak-proofing tolerance (f32)
 SLACK = np.float32(1e-5)  # hit-acceptance slack in step lengths (f32)
 _INF = np.float32(np.inf)
+# DMA size classes (chunks): the smallest class >= the row's chunk count is
+# transferred in one DMA. Over-read beyond a row lands in the next cell's
+# row (real geometry) or the table's zero tail (rejected by det == 0).
+_CLASSES = (1, 2, 4, 8, 16, 32)
 
 
-def _mt_tile(st, tri_cols):
-    """Moller-Trumbore for TILE spins (sublanes) x KCHUNK tris (lanes).
-
-    st: (TILE, 8) rows [x, y, z, dx, dy, dz, rem, iters].
-    tri_cols: (16, K) rows [A (3), E1 (3), E2 (3), n (3), pad (4)].
-    Returns (d, nx, ny, nz): (TILE, 1) closest strictly-forward hit
-    distance (inf if none) and its stored unit normal, ties broken by the
-    lowest lane index (never a component mix of two normals).
-    """
-    r0 = [st[:, i][:, None] for i in range(3)]
-    dirn = [st[:, 3 + i][:, None] for i in range(3)]
-    A = [tri_cols[i, :][None, :] for i in range(3)]
-    E1 = [tri_cols[3 + i, :][None, :] for i in range(3)]
-    E2 = [tri_cols[6 + i, :][None, :] for i in range(3)]
-    T = [r0[i] - A[i] for i in range(3)]
-
-    def cross(a, b):
-        return (
-            a[1] * b[2] - a[2] * b[1],
-            a[2] * b[0] - a[0] * b[2],
-            a[0] * b[1] - a[1] * b[0],
-        )
-
-    def dot(a, b):
-        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
-
-    P = cross(dirn, E2)
-    Q = cross(T, E1)
-    det = dot(P, E1)
-    inv_det = 1.0 / det
-    t = inv_det * dot(Q, E2)
-    u = inv_det * dot(P, T)
-    v = inv_det * dot(Q, dirn)
-    lo, hi = -EDGE_TOL, 1.0 + EDGE_TOL
-    ok = (
-        (det != 0)
-        & (u >= lo)
-        & (u <= hi)
-        & (v >= lo)
-        & (v <= hi)
-        & (u + v <= hi)
-        & (t > 0)
-    )
-    t = jnp.where(ok, t, _INF)
-    d = jnp.min(t, axis=1, keepdims=True)
-    is_min = t == d
-    lane = lax.broadcasted_iota(jnp.int32, t.shape, 1)
-    min_lane = jnp.min(
-        jnp.where(is_min, lane, jnp.int32(t.shape[1])), axis=1, keepdims=True
-    )
-    sel = is_min & (lane == min_lane)
-
-    def pick(row):
-        comp = tri_cols[9 + row, :][None, :]
-        return jnp.sum(jnp.where(sel, comp, 0.0), axis=1, keepdims=True)
-
-    hit_any = d != _INF
-    nx = jnp.where(hit_any, pick(0), 0.0)
-    ny = jnp.where(hit_any, pick(1), 0.0)
-    nz = jnp.where(hit_any, pick(2), 0.0)
-    return d, nx, ny, nz
+def _size_class(nch):
+    """Smallest DMA size class covering ``nch`` chunks (scalar int32)."""
+    c = jnp.int32(_CLASSES[-1])
+    for cl in reversed(_CLASSES[:-1]):
+        c = jnp.where(nch <= cl, jnp.int32(cl), c)
+    return c
 
 
-def _kernel(starts_ref, packed_ref, nexts_ref, pi_ref, pf_ref, rows_ref,
-            table_ref, out_ref, arena, sem, st, act, best):
-    """One tile: resolve every bounce of one time step for TILE spins."""
-    s_step = pi_ref[0, 0]
-    t_step = pi_ref[0, 1]
-    seed = pi_ref[0, 2]
-    max_iter = pi_ref[0, 3]
+def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
+            pi_ref, pf_ref, rows_ref, dirs_ref, table_ref, out_ref, arena,
+            sem, st, act, dacc, nax, nay, naz, *, J):
+    """One tile: J time steps, all bounces, windowed over the arena."""
+    seed = pi_ref[0, 0]
+    max_iter = pi_ref[0, 1]
+    t_base = pi_ref[0, 2]
+    n_valid = pi_ref[0, 3]
     eps = pf_ref[0, 0]
     perm = pf_ref[0, 1]
+    # per-tile re-centering origin: the tile's first (sorted) spin
+    o0 = ox_ref[0, 0]
+    o1 = oy_ref[0, 0]
+    o2 = oz_ref[0, 0]
     tile_base = pl.program_id(0) * TILE
-    bits_shift = s_step * BITS
-    mask = jnp.int32((1 << BITS) - 1)
+    mask6 = jnp.int32((1 << BITS) - 1)
     max_iter_f = max_iter.astype(jnp.float32)
-
-    st[...] = rows_ref[...]
-    st[:, 6:7] = jnp.ones((TILE, 1), jnp.float32)  # rem
-    # iters starts at 1: the first collision check is entry #1 (classic
-    # stepping counts it the same way); empty-cell lanes keep 1.
-    st[:, 7:8] = jnp.ones((TILE, 1), jnp.float32)
-    act[...] = jnp.ones((TILE, 1), jnp.float32)
     lanes = lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
-    ids = pltpu.bitcast(rows_ref[:, 6:7], jnp.int32)
+    ids = pltpu.bitcast(rows_ref[:, 3:4], jnp.int32)
 
     def n_chunks_at(i):
-        return lax.shift_right_logical(packed_ref[0, i], bits_shift) & mask
+        sh = jnp.int32((J - 1) * BITS)
+        return lax.shift_right_logical(packed_ref[0, i], sh) & mask6
 
-    def dma(i, slot, size):
-        start_c = starts_ref[0, i]
+    def run_end_at(i):
+        return jnp.minimum(nexts_ref[0, i] - tile_base, TILE)
+
+    def dma(i, off, cls):
         return pltpu.make_async_copy(
-            table_ref.at[pl.ds(start_c, size)],
-            arena.at[slot, pl.ds(0, size)],
-            sem.at[slot],
+            table_ref.at[pl.ds(starts_ref[0, i], cls)],
+            arena.at[pl.ds(off, cls)],
+            sem.at[off],
         )
 
-    def issue(i, slot):
-        """One DMA for run i's whole row: two static size classes keep the
-        scalar path branch-only (no per-group loop)."""
-        nch = n_chunks_at(i)
+    def class_op(i, off, nch, start_not_wait):
+        """Start (or wait for) the row's static-size-class DMA."""
+        for ci, cl in enumerate(_CLASSES):
+            lo = 0 if ci == 0 else _CLASSES[ci - 1]
 
-        @pl.when((nch > 0) & (nch <= CH_SMALL))
-        def _():
-            dma(i, slot, CH_SMALL).start()
+            @pl.when((nch > lo) & (nch <= cl))
+            def _():
+                cp = dma(i, off, cl)
+                if start_not_wait:
+                    cp.start()
+                else:
+                    cp.wait()
 
-        @pl.when(nch > CH_SMALL)
-        def _():
-            dma(i, slot, CH_MAX).start()
+    def walk(w_start, start_not_wait):
+        """Walk runs from lane ``w_start`` while their size classes fit the
+        arena, issuing (or waiting on) each non-empty run's DMA. Returns
+        (w_end, occupancy in chunks)."""
 
-    def wait(i, slot):
-        nch = n_chunks_at(i)
+        def cond(state):
+            i, off, stop = state
+            return (i < TILE) & (~stop)
 
-        @pl.when((nch > 0) & (nch <= CH_SMALL))
-        def _():
-            dma(i, slot, CH_SMALL).wait()
-
-        @pl.when(nch > CH_SMALL)
-        def _():
-            dma(i, slot, CH_MAX).wait()
-
-    def bounce_cond(carry):
-        it, n_active = carry
-        return n_active > 0
-
-    def _run_chunks(i, slot, nch, a_mask):
-        st_rows = st[...]
-
-        def chunk_fold(j, carry):
-            d0, nx0, ny0, nz0 = carry
-            d, nx, ny, nz = _mt_tile(st_rows, arena[slot, j])
-            better = d < d0
-            return (
-                jnp.where(better, d, d0),
-                jnp.where(better, nx, nx0),
-                jnp.where(better, ny, ny0),
-                jnp.where(better, nz, nz0),
-            )
-
-        init = (
-            jnp.full((TILE, 1), _INF, jnp.float32),
-            jnp.zeros((TILE, 1), jnp.float32),
-            jnp.zeros((TILE, 1), jnp.float32),
-            jnp.zeros((TILE, 1), jnp.float32),
-        )
-        d, nx, ny, nz = lax.fori_loop(0, nch, chunk_fold, init)
-        cur = best[...]
-        new = jnp.concatenate((d, nx, ny, nz, cur[:, 4:8]), axis=1)
-        best[...] = jnp.where(a_mask & (d < cur[:, 0:1]), new, cur)
-
-    def bounce_body(carry):
-        it, _ = carry
-        best[...] = jnp.concatenate(
-            (
-                jnp.full((TILE, 1), _INF, jnp.float32),
-                jnp.zeros((TILE, 7), jnp.float32),
-            ),
-            axis=1,
-        )
-        issue(0, 0)
-
-        def run_cond(state):
-            i, _ = state
-            return i < TILE
-
-        def run_body(state):
-            i, r = state
-            slot = lax.rem(r, jnp.int32(2))
+        def body(state):
+            i, off, _ = state
             nch = n_chunks_at(i)
-            run_end = jnp.minimum(nexts_ref[0, i] - tile_base, TILE)
+            cls = jnp.where(nch == 0, 0, _size_class(nch))
+            stop = off + cls > jnp.int32(ARENA_CH)
 
-            @pl.when(run_end < TILE)
+            @pl.when((~stop) & (nch > 0))
             def _():
-                issue(run_end, 1 - slot)
+                class_op(i, off, nch, start_not_wait)
 
-            @pl.when(nch > 0)
-            def _():
-                # Always consume the semaphore (the DMA was issued by the
-                # previous run's prefetch), but skip the triangle math when
-                # no lane of this run is still active — on bounce passes
-                # beyond the second, almost every run is settled.
-                wait(i, slot)
-                in_run = (lanes >= i) & (lanes < run_end)
-                a_mask = in_run & (act[...] > 0)
-                n_run_act = jnp.sum(
-                    jnp.where(a_mask, 1.0, 0.0)
-                ).astype(jnp.int32)
+            nxt = jnp.where(stop, i, run_end_at(i))
+            return (nxt, jnp.where(stop, off, off + cls), stop)
 
-                @pl.when(n_run_act > 0)
-                def _():
-                    _run_chunks(i, slot, nch, a_mask)
+        i, off, _ = lax.while_loop(
+            cond, body, (w_start, jnp.int32(0), False)
+        )
+        return i, off
 
-            return (run_end, r + 1)
+    def _fold_half(tri, x, y, z, dx, dy, dz, cx, cy, cz, dcur, nx, ny, nz):
+        """Feature-form MT of the whole tile against one 128-tri chunk.
 
-        lax.while_loop(run_cond, run_body, (jnp.int32(0), jnp.int32(0)))
+        tri: (16, KCHUNK) feature rows [N(3), A.N, E2(3), E2xA(3), E1(3),
+        AxE1(3)]; per-spin columns are (TILE, 1). Returns updated
+        (d, nx, ny, nz) (TILE, KCHUNK) accumulators.
+        """
+        N0 = tri[0][None, :]
+        N1 = tri[1][None, :]
+        N2 = tri[2][None, :]
+        det = -(dx * N0 + dy * N1 + dz * N2)
+        tn = (x * N0 + y * N1 + z * N2) - tri[3][None, :]
+        un = (cx * tri[4][None, :] + cy * tri[5][None, :]
+              + cz * tri[6][None, :]) - (
+            dx * tri[7][None, :] + dy * tri[8][None, :]
+            + dz * tri[9][None, :]
+        )
+        vn = -(cx * tri[10][None, :] + cy * tri[11][None, :]
+               + cz * tri[12][None, :]) - (
+            dx * tri[13][None, :] + dy * tri[14][None, :]
+            + dz * tri[15][None, :]
+        )
+        inv = 1.0 / det
+        t = tn * inv
+        u = un * inv
+        v = vn * inv
+        lo, hi = -EDGE_TOL, 1.0 + EDGE_TOL
+        ok = (
+            (det != 0)
+            & (u >= lo)
+            & (u <= hi)
+            & (v >= lo)
+            & (u + v <= hi)
+            & (t > 0)
+        )
+        t = jnp.where(ok, t, _INF)
+        better = t < dcur
+        return (
+            jnp.where(better, t, dcur),
+            jnp.where(better, N0, nx),
+            jnp.where(better, N1, ny),
+            jnp.where(better, N2, nz),
+        )
 
-        # Resolve the whole tile's hits in one vector phase.
-        d = best[:, 0:1]
-        nrm = best[:, 1:4]
+    def _pass(s, it, occ):
+        """One bounce pass: fold the window's arena, resolve every hit."""
+        x = st[:, 0:1] - o0
+        y = st[:, 1:2] - o1
+        z = st[:, 2:3] - o2
+        dx = st[:, 3:4]
+        dy = st[:, 4:5]
+        dz = st[:, 5:6]
+        cx = y * dz - z * dy
+        cy = z * dx - x * dz
+        cz = x * dy - y * dx
+
+        dacc[...] = jnp.full((TILE, 2 * KCHUNK), _INF, jnp.float32)
+        nax[...] = jnp.zeros((TILE, 2 * KCHUNK), jnp.float32)
+        nay[...] = jnp.zeros((TILE, 2 * KCHUNK), jnp.float32)
+        naz[...] = jnp.zeros((TILE, 2 * KCHUNK), jnp.float32)
+
+        def fold(g, _):
+            # two independent 128-wide DAGs per iteration: interleaved
+            # instruction streams pipeline like one 256-wide op
+            d0, n0x, n0y, n0z = _fold_half(
+                arena[2 * g], x, y, z, dx, dy, dz, cx, cy, cz,
+                dacc[:, 0:KCHUNK], nax[:, 0:KCHUNK], nay[:, 0:KCHUNK],
+                naz[:, 0:KCHUNK],
+            )
+            d1, n1x, n1y, n1z = _fold_half(
+                arena[2 * g + 1], x, y, z, dx, dy, dz, cx, cy, cz,
+                dacc[:, KCHUNK:], nax[:, KCHUNK:], nay[:, KCHUNK:],
+                naz[:, KCHUNK:],
+            )
+            dacc[:, 0:KCHUNK] = d0
+            dacc[:, KCHUNK:] = d1
+            nax[:, 0:KCHUNK] = n0x
+            nax[:, KCHUNK:] = n1x
+            nay[:, 0:KCHUNK] = n0y
+            nay[:, KCHUNK:] = n1y
+            naz[:, 0:KCHUNK] = n0z
+            naz[:, KCHUNK:] = n1z
+            return 0
+
+        lax.fori_loop(0, (occ + 1) // 2, fold, 0)
+
+        # Final reduce + deterministic tie-break + normal pick (once per
+        # pass). Ties across fold groups were already broken
+        # earliest-group-first by the strict `better` comparison.
+        da = dacc[...]
+        d = jnp.min(da, axis=1, keepdims=True)
+        is_min = da == d
+        lane = lax.broadcasted_iota(jnp.int32, da.shape, 1)
+        min_lane = jnp.min(
+            jnp.where(is_min, lane, jnp.int32(da.shape[1])),
+            axis=1,
+            keepdims=True,
+        )
+        sel = is_min & (lane == min_lane) & (d != _INF)
+        nx = jnp.sum(jnp.where(sel, nax[...], 0.0), axis=1, keepdims=True)
+        ny = jnp.sum(jnp.where(sel, nay[...], 0.0), axis=1, keepdims=True)
+        nz = jnp.sum(jnp.where(sel, naz[...], 0.0), axis=1, keepdims=True)
+        # stored N is unnormalized (E1 x E2); reflection needs unit length
+        rn = lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
+        nx, ny, nz = nx * rn, ny * rn, nz * rn
+
+        # Resolve (all lanes in one vector phase).
         r0 = st[:, 0:3]
         dirn = st[:, 3:6]
         rem = st[:, 6:7]
         iters = st[:, 7:8]
         a = act[...] > 0
         hit = a & (d <= rem + SLACK)
-        u = krng.bounce_uniform(seed, t_step, ids, it)
+        t_abs = t_base + jnp.int32(s)
+        u = krng.bounce_uniform(seed, t_abs, ids, it)
         go = u < perm
+        nrm = jnp.concatenate((nx, ny, nz), axis=1)
         v = d * dirn
         inter = r0 + v
         dp = jnp.sum(v * nrm, axis=1, keepdims=True)
@@ -276,21 +282,109 @@ def _kernel(starts_ref, packed_ref, nexts_ref, pi_ref, pf_ref, rows_ref,
         st[:, 6:7] = jnp.where(a, rem_new, rem)
         st[:, 7:8] = jnp.where(still, iters + 1.0, iters)
         act[...] = jnp.where(a, still.astype(jnp.float32), act[...])
-        n_active = jnp.sum(act[...]).astype(jnp.int32)
-        return (it + 1, n_active)
 
-    lax.while_loop(bounce_cond, bounce_body, (jnp.int32(0), jnp.int32(1)))
+    def window(w_start):
+        # Fill the arena: issue all DMAs, then wait (transfers overlap).
+        w_end, occ = walk(w_start, True)
+        walk(w_start, False)
 
-    out_ref[:, 0:3] = st[:, 0:3] + st[:, 3:6] * st[:, 6:7]
-    out_ref[:, 3:4] = (st[:, 7:8] >= max_iter_f).astype(jnp.float32)
-    out_ref[:, 4:8] = jnp.zeros((TILE, 4), jnp.float32)
+        # Odd occupancy: zero the next chunk so the 2-chunk fold groups
+        # never read stale arena content (fake geometry).
+        @pl.when(occ % 2 == 1)
+        def _():
+            arena[pl.ds(occ, 1)] = jnp.zeros((1, 16, KCHUNK), jnp.float32)
+
+        # Re-center the affine table rows around the tile origin O:
+        # A.N -> (A - O).N, E2 x A -> E2 x (A - O), A x E1 -> (A - O) x E1.
+        def adjust(ch, _):
+            tri = arena[ch]
+            N = tri[0:3]
+            E2 = tri[4:7]
+            E1 = tri[10:13]
+            an = tri[3:4] - (o0 * N[0:1] + o1 * N[1:2] + o2 * N[2:3])
+            ea = tri[7:10] - jnp.concatenate(
+                (
+                    E2[1:2] * o2 - E2[2:3] * o1,
+                    E2[2:3] * o0 - E2[0:1] * o2,
+                    E2[0:1] * o1 - E2[1:2] * o0,
+                )
+            )
+            ae = tri[13:16] - jnp.concatenate(
+                (
+                    o1 * E1[2:3] - o2 * E1[1:2],
+                    o2 * E1[0:1] - o0 * E1[2:3],
+                    o0 * E1[1:2] - o1 * E1[0:1],
+                )
+            )
+            arena[ch] = jnp.concatenate((N, an, E2, ea, E1, ae))
+            return 0
+
+        lax.fori_loop(0, occ, adjust, 0)
+
+        wmask = (lanes >= w_start) & (lanes < w_end)
+
+        for s in range(J):
+            step_valid = jnp.int32(s) < n_valid
+
+            @pl.when(step_valid)
+            def _():
+                # begin step: fresh direction, full segment, 1 iter entry
+                st[:, 3:4] = jnp.where(
+                    wmask, dirs_ref[:, 3 * s + 0 : 3 * s + 1], st[:, 3:4]
+                )
+                st[:, 4:5] = jnp.where(
+                    wmask, dirs_ref[:, 3 * s + 1 : 3 * s + 2], st[:, 4:5]
+                )
+                st[:, 5:6] = jnp.where(
+                    wmask, dirs_ref[:, 3 * s + 2 : 3 * s + 3], st[:, 5:6]
+                )
+                st[:, 6:7] = jnp.where(wmask, 1.0, st[:, 6:7])
+                st[:, 7:8] = jnp.where(wmask, 1.0, st[:, 7:8])
+                act[...] = jnp.where(wmask, 1.0, 0.0)
+
+                _pass(s, jnp.int32(0), occ)
+
+                # The active count rides the while carry (a ref read inside
+                # `cond` observes stale state on some backends).
+                def cond(c):
+                    return c[1] > 0
+
+                def body(c):
+                    it, _ = c
+                    _pass(s, it, occ)
+                    return (it + 1, jnp.sum(act[...]).astype(jnp.int32))
+
+                n0 = jnp.sum(act[...]).astype(jnp.int32)
+                lax.while_loop(cond, body, (jnp.int32(1), n0))
+
+                # settled spins advance by their remaining segment
+                adv = st[:, 0:3] + st[:, 3:6] * st[:, 6:7]
+                st[:, 0:3] = jnp.where(wmask, adv, st[:, 0:3])
+
+            # Per-step output (positions + iteration-overflow flag); steps
+            # beyond the simulated window repeat the current position.
+            exc_col = jnp.where(
+                step_valid & (st[:, 7:8] >= max_iter_f), 1.0, 0.0
+            )
+            cur = out_ref[:, 4 * s : 4 * s + 4]
+            val = jnp.concatenate((st[:, 0:3], exc_col), axis=1)
+            out_ref[:, 4 * s : 4 * s + 4] = jnp.where(wmask, val, cur)
+        return w_end
+
+    # ----- main: init state, loop windows ----------------------------
+    st[:, 0:3] = rows_ref[:, 0:3]
+    st[:, 3:8] = jnp.zeros((TILE, 5), jnp.float32)
+    act[...] = jnp.zeros((TILE, 1), jnp.float32)
+
+    lax.while_loop(lambda w: w < TILE, window, jnp.int32(0))
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _launch(starts, packed, nexts, params_i, params_f, rows, table,
-            interpret=False):
+@partial(jax.jit, static_argnames=("n_steps", "interpret"))
+def _launch(starts, packed, nexts, origin, params_i, params_f, rows, dirs,
+            table, n_steps, interpret=False):
     n_pad = rows.shape[0]
     n_tiles = n_pad // TILE
+    J = n_steps
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_tiles,),
@@ -298,57 +392,74 @@ def _launch(starts, packed, nexts, params_i, params_f, rows, table,
             pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 4), lambda t: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 4), lambda t: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((TILE, 8), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 16), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (TILE, 8), lambda t: (t, 0), memory_space=pltpu.VMEM
+            (TILE, 4 * J), lambda t: (t, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, CH_MAX, 16, KCHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((ARENA_CH, 16, KCHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((ARENA_CH,)),
             pltpu.VMEM((TILE, 8), jnp.float32),
             pltpu.VMEM((TILE, 1), jnp.float32),
-            pltpu.VMEM((TILE, 8), jnp.float32),
+            pltpu.VMEM((TILE, 2 * KCHUNK), jnp.float32),
+            pltpu.VMEM((TILE, 2 * KCHUNK), jnp.float32),
+            pltpu.VMEM((TILE, 2 * KCHUNK), jnp.float32),
+            pltpu.VMEM((TILE, 2 * KCHUNK), jnp.float32),
         ],
     )
     return pl.pallas_call(
-        _kernel,
+        partial(_kernel, J=J),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 4 * J), jnp.float32),
         interpret=interpret,
-    )(starts[None, :], packed[None, :], nexts[None, :], params_i, params_f,
-      rows, table)
+    )(starts[None, :], packed[None, :], nexts[None, :], origin[0][None, :],
+      origin[1][None, :], origin[2][None, :], params_i, params_f, rows,
+      dirs, table)
 
 
-def fused_step(spec, pos_s, direction, ids_s, start_s, packed_s, next_end,
-               s, t, seed32, epsilon, max_iter, interpret=False):
-    """One fused time step on epoch-sorted state.
+def fused_epoch(spec, pos_s, dirs, ids_s, start_s, packed_s, next_end,
+                t_base, n_valid_steps, seed32, epsilon, max_iter,
+                interpret=False):
+    """Run one epoch (J steps) of mesh physics on epoch-sorted state.
 
-    pos_s, direction: (3, n) float32 (positions pre-shifted into the anchor
-    cell's home periodic image); ids_s/start_s/packed_s/next_end: (n,)
-    int32 in the same order. ``s`` is the step index within the epoch
-    (selects the chunk-count bit field), ``t`` the absolute step index.
-    Returns (new positions (3, n), iter_exc (n,) bool).
+    pos_s: (3, n) float32 positions wrapped into the home periodic image;
+    dirs: (J, 3, n) per-step unit directions; ids_s/start_s/packed_s/
+    next_end: (n,) int32 in the same order. ``t_base`` is the epoch's first
+    absolute step index, ``n_valid_steps`` how many of the J steps are
+    inside the simulated window (trailing steps are no-ops).
+
+    Returns (per-step positions (J, 3, n), iter_exc (n,) bool).
     """
+    J = dirs.shape[0]
+    n = pos_s.shape[1]
     idf = lax.bitcast_convert_type(ids_s, jnp.float32)
     zeros = jnp.zeros_like(idf)
     rows = jnp.stack(
+        (pos_s[0], pos_s[1], pos_s[2], idf, zeros, zeros, zeros, zeros),
+        axis=1,
+    )
+    dirs_in = jnp.concatenate(
         (
-            pos_s[0], pos_s[1], pos_s[2],
-            direction[0], direction[1], direction[2],
-            idf, zeros,
+            dirs.transpose(2, 0, 1).reshape(n, 3 * J),
+            jnp.zeros((n, 16 - 3 * J), jnp.float32),
         ),
         axis=1,
     )
     params_i = jnp.stack(
         (
-            jnp.asarray(s, jnp.int32),
-            jnp.asarray(t, jnp.int32),
             jnp.asarray(seed32, jnp.int32),
             jnp.asarray(max_iter, jnp.int32),
+            jnp.asarray(t_base, jnp.int32),
+            jnp.asarray(n_valid_steps, jnp.int32),
         )
     )[None, :]
     params_f = jnp.stack(
@@ -360,9 +471,10 @@ def fused_step(spec, pos_s, direction, ids_s, start_s, packed_s, next_end,
         )
     )[None, :]
     out = _launch(
-        start_s, packed_s, next_end, params_i, params_f, rows, spec.table,
-        interpret=interpret,
+        start_s, packed_s, next_end, pos_s, params_i, params_f, rows,
+        dirs_in, spec.table, n_steps=J, interpret=interpret,
     )
-    new_pos = out[:, 0:3].T
-    exc_t = out[:, 3] > 0.5
-    return new_pos, exc_t
+    steps = out.reshape(n, J, 4)
+    pos_steps = steps[:, :, 0:3].transpose(1, 2, 0)  # (J, 3, n)
+    exc = jnp.any(steps[:, :, 3] > 0.5, axis=1)
+    return pos_steps, exc

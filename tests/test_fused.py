@@ -105,9 +105,28 @@ def test_pack_fused_counts_monotone(packed_sphere):
         prev = c
 
 
+def _triangle_box_distance(tri, lo, hi, n_grid=120):
+    """Euclidean distance between triangles (k, 3, 3) and the AABB [lo, hi],
+    by dense barycentric sampling (the point-to-box distance is 1-Lipschitz,
+    so the sampling error is bounded by the sample spacing)."""
+    a = np.linspace(0.0, 1.0, n_grid)
+    u, v = np.meshgrid(a, a)
+    keep = (u + v) <= 1.0
+    u, v = u[keep], v[keep]
+    pts = (
+        tri[:, None, 0, :]
+        + u[None, :, None] * (tri[:, 1, :] - tri[:, 0, :])[:, None, :]
+        + v[None, :, None] * (tri[:, 2, :] - tri[:, 0, :])[:, None, :]
+    )  # (k, m, 3)
+    gap = np.maximum(np.maximum(lo - pts, pts - hi), 0.0)
+    return np.linalg.norm(gap, axis=2).min(axis=1)
+
+
 def test_pack_fused_coverage(packed_sphere):
-    """Every triangle within step-s dilation of a cell box must appear in
-    that cell's first counts[s] chunks (superset property = no leaks)."""
+    """Every triangle within Euclidean step-s dilation of a cell box must
+    appear in that cell's first counts[s] chunks (superset = no leaks):
+    a spin anchored in the cell stays within dil[s] of the cell box during
+    epoch step s, so every wall it can reach lies in that neighborhood."""
     substrate, spec, step_l = packed_sphere
     J = spec.resort_every
     scale = 1 / step_l
@@ -119,7 +138,8 @@ def test_pack_fused_coverage(packed_sphere):
     table = np.asarray(spec.table)
     start = np.asarray(spec.cell_start)
     packed = np.asarray(spec.cell_packed)
-    dil = fused._dilations(J)
+    # Same dilation ladder the pack was built with (incl. the eps margin).
+    dil = fused._dilations(J, eps_margin=fused.EPS_BOUNCES * spec.eps_budget)
 
     rng = np.random.RandomState(0)
     for cell in rng.choice(int(n_sv.prod()), size=8, replace=False):
@@ -131,14 +151,15 @@ def test_pack_fused_coverage(packed_sphere):
                 (1 << fused.BITS) - 1
             )
             rows = table[start[cell]:start[cell] + n_chunks]
-            # stored records: A + E1/E2 -> corner set
-            A = rows[:, 0:3, :].transpose(0, 2, 1).reshape(-1, 3)
-            E1 = rows[:, 3:6, :].transpose(0, 2, 1).reshape(-1, 3)
-            E2 = rows[:, 6:9, :].transpose(0, 2, 1).reshape(-1, 3)
-            stored = np.stack((A, A + E1, A + E2), axis=1)
-            stored = stored[np.abs(stored).sum(axis=(1, 2)) > 0]
-            # brute force: every (triangle, periodic image) whose AABB is
-            # within dil[s] of the cell box must be present
+            # stored records are 16-float feature vectors per triangle
+            stored = rows.transpose(0, 2, 1).reshape(-1, 16)
+            stored = stored[np.abs(stored).sum(axis=1) > 0]
+            # brute force: every (triangle, periodic image) whose true
+            # Euclidean distance to the cell box is below dil[s] (slightly
+            # shrunk: the 0.05 slack dodges boundary ties and absorbs the
+            # distance-sampling error) must be in the step-s chunk prefix.
+            margin = dil[s] - 0.05
+            box = np.stack((lo - margin, hi + margin))  # (2, 3)
             for sx in (-1, 0, 1):
                 for sy in (-1, 0, 1):
                     for sz in (-1, 0, 1):
@@ -146,31 +167,28 @@ def test_pack_fused_coverage(packed_sphere):
                         t_img = tri + shift
                         amin = t_img.min(axis=1)
                         amax = t_img.max(axis=1)
-                        # strictly-inside margin avoids SAT boundary ties
-                        margin = dil[s] - 0.05
-                        near = np.all(amin <= hi + margin, axis=1) & np.all(
-                            amax >= lo - margin, axis=1
+                        near = np.all(amin <= box[1], axis=1) & np.all(
+                            amax >= box[0], axis=1
                         )
-                        # AABB proximity over-selects vs SAT; require only
-                        # that stored rows contain every *SAT-overlapping*
-                        # triangle. Check via distance of the triangle
-                        # centroid instead for unambiguous cases: centroid
-                        # within the dilated box is sufficient for overlap.
-                        cen = t_img.mean(axis=1)
-                        inside = np.all(
-                            (cen >= lo - margin) & (cen <= hi + margin),
-                            axis=1,
-                        )
-                        for ti in np.nonzero(near & inside)[0]:
-                            target = t_img[ti]
+                        cand = np.nonzero(near)[0]
+                        if not len(cand):
+                            continue
+                        dist = _triangle_box_distance(t_img[cand], lo, hi)
+                        for ti in cand[dist <= margin]:
+                            A, B, C = t_img[ti]
+                            E1, E2 = B - A, C - A
+                            N = np.cross(E1, E2)
+                            feat = np.concatenate(
+                                (N, [A @ N], E2, np.cross(E2, A), E1,
+                                 np.cross(A, E1))
+                            )
+                            tol = 1e-4 * max(1.0, np.abs(feat).max())
                             match = (
-                                np.abs(
-                                    stored - target[None]
-                                ).max(axis=(1, 2)).min()
+                                np.abs(stored - feat[None]).max(axis=1).min()
                                 if len(stored)
                                 else np.inf
                             )
-                            assert match < 1e-4, (cell, s, ti, (sx, sy, sz))
+                            assert match < tol, (cell, s, ti, (sx, sy, sz))
 
 
 # ---------------------------------------------------------------------------
