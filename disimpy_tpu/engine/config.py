@@ -12,15 +12,15 @@ with ``pallas_interpret`` on CPU), or False (always use the classic path).
 
 ``fused_resort_every``: epoch length J of the fused engine (steps between
 spin re-sorts; the packed table's dilation depth). 1..engine.fused.MAX_J.
-Measured on the 102k-triangle bench at 512k spins: J=2 is optimal (82.6
-ms/step vs 104.5 at J=4 and 89.3 at J=1) — candidate rows thin faster
-than the amortized epoch sort grows.
+The epoch kernel folds each step's distance-ordered chunk prefix, so a
+longer epoch amortizes the sort/back-permute and the arena fill without
+paying the full last-step dilation on early steps.
 """
 
 use_pallas = None
 pallas_interpret = False
 use_fused = None
-fused_resort_every = 2
+fused_resort_every = 4
 
 
 def _on_tpu():
@@ -57,13 +57,13 @@ def mesh_query_backend(spec, dtype, sharded=False):
 def mesh_engine(dtype, needs_traj, sharded):
     """Resolve the mesh stepping engine: "fused" or "classic".
 
-    The fused engine requires float32, runs without per-step trajectory
-    output, and (for now) a single device — the classic path covers the
-    rest.
+    The fused engine requires float32 and runs without per-step trajectory
+    output; the classic path covers the rest. Sharded runs use the
+    shard-mapped fused window (fused.run_window_fused_sharded).
     """
     import jax.numpy as jnp
 
-    if needs_traj or jnp.dtype(dtype) != jnp.float32 or sharded:
+    if needs_traj or jnp.dtype(dtype) != jnp.float32:
         return "classic"
     if use_fused is False:
         return "classic"

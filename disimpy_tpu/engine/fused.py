@@ -29,10 +29,10 @@ module restructures the mesh hot path around three ideas:
    sharding. The kernel returns per-step positions and the epoch's phase
    delta is two matmuls.
 
-The phase accumulators ride the epoch sort as payload (order changes only
-at epoch boundaries); positions, ids and the iter_exc flag ride alongside.
-Signal reduction is order-independent, so nothing is unsorted until the
-window ends.
+Positions, ids and the iter_exc flag ride the epoch sort; phase
+accumulators stay in canonical spin order the whole window (the kernel's
+per-step positions are permuted back with a cheap (1 + 3J)-operand sort
+and contracted against the waveform in one matmul per epoch).
 
 Reference behavior matched: disimpy/simulations.py:878-1013 (_cuda_step_mesh
 resolves all of a walker's bounces locally in one kernel launch — the
@@ -539,7 +539,7 @@ def _run_ends(keys):
 
 @partial(jax.jit, static_argnames=("interpret",))
 def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
-                     epsilon, max_iter, interpret=False):
+                     epsilon, max_iter, interpret=False, id_base=0):
     """Advance the ensemble through the window ``ts`` with the fused engine.
 
     Arguments mirror engine.core.run_window (positions (3, n) true
@@ -547,17 +547,15 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
     not supported here (the driver uses the classic path for traj output).
     ``seed32`` is an int32 derived from the simulation seed; the in-kernel
     RNG is keyed by (seed32 ^ salt, t, spin id) — no jax PRNG key
-    threading.
+    threading. ``id_base`` offsets the spin ids (a sharded run passes each
+    shard's global offset so every walker keeps its global RNG stream).
 
     Phase accumulators stay in ORIGINAL spin order for the whole window:
-    each epoch accumulates its per-spin phase delta in the epoch's sorted
-    order and permutes the delta back with one batched 9-operand sort
-    (keys = the carried original ids, payloads = 8 grouped delta rows).
-    A single wide sort carrying all n_meas phase rows would be cheaper on
-    paper, but the XLA TPU sort lowering's compile time explodes somewhere
-    beyond ~21 operands (measured: 21 operands compile in minutes, 37+
-    never finished) — batching rows into (G, n) operands keeps the operand
-    count at 9 regardless of n_meas.
+    each epoch's kernel returns per-step positions in epoch order, one
+    (1 + 3J)-operand sort permutes them back to canonical order, and the
+    epoch's phase delta is a single (n_meas, 3J) x (3J, n) matmul. (The
+    XLA TPU sort lowering's compile time explodes beyond ~21 operands;
+    3J + 1 <= 16 stays well below.)
     """
     from . import pallas_fused
     from .pallas_fused import TILE
@@ -569,8 +567,6 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
     n_epochs = -(-n_t // J)
     dtype = positions.dtype
     m = phases.shape[0]
-    G = -(-m // 8)
-    m_pad = G * 8
 
     # Pad the spin axis to a whole number of kernel tiles; pad spins copy
     # spin 0 (valid physics, ids beyond n_true) and are sliced off after
@@ -585,20 +581,14 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
             (phases, jnp.zeros((m, reps), phases.dtype)), axis=1
         )
         iter_exc = jnp.concatenate((iter_exc, jnp.zeros(reps, bool)))
-    if m_pad != m:
-        phases = jnp.concatenate(
-            (phases, jnp.zeros((m_pad - m, n), phases.dtype)), axis=0
-        )
 
-    ids = jnp.arange(n, dtype=jnp.int32)
+    ids = jnp.asarray(id_base, jnp.int32) + jnp.arange(n, dtype=jnp.int32)
     idexc = (ids << 1) | iter_exc.astype(jnp.int32)
 
-    # Pad the window's phase coefficients to n_epochs * J steps and
-    # n_meas to m_pad (zero rows accumulate zero delta).
-    g_pad = jnp.pad(
-        g_eff, ((0, n_epochs * J - n_t), (0, m_pad - m), (0, 0))
-    )
-    g_epochs = g_pad.reshape(n_epochs, J, m_pad, 3)
+    # Pad the window's phase coefficients to n_epochs * J steps (zero
+    # rows accumulate zero delta for the trailing partial epoch).
+    g_pad = jnp.pad(g_eff, ((0, n_epochs * J - n_t), (0, 0), (0, 0)))
+    g_epochs = g_pad.reshape(n_epochs, J, m, 3)
 
     seed_k = jnp.asarray(seed32, jnp.int32) ^ jnp.int32(spec.seed_salt)
 
@@ -647,28 +637,20 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
         pos_s = pos_steps[-1]
         idexc_s = idexc_s | exc_bits.astype(jnp.int32)
 
-        # Phase accrual for the whole epoch in two matmuls:
-        # dphi = sum_s g_s . (pos_s + shift) = G_flat @ P + (sum_s g_s) @ S
-        # (steps past the window have zero g rows, so they contribute 0).
-        g_flat = g_e.transpose(1, 0, 2).reshape(m_pad, 3 * J).astype(dtype)
-        P = pos_steps.reshape(3 * J, n)
-        dphi = lax.dot(
-            g_flat, P, preferred_element_type=phases.dtype
-        ) + lax.dot(
-            g_e.sum(axis=0).astype(dtype), shiftvox_s,
-            preferred_element_type=phases.dtype,
-        )
-
-        # Permute the epoch's phase delta back to original spin order.
-        keys = jnp.broadcast_to(ids_s, (G, n))
-        grouped = dphi.reshape(G, 8, n)
+        # Permute the epoch's per-step TRUE positions back to canonical
+        # spin order (1 + 3J sort operands — far below the ~21-operand
+        # compile cliff, and much cheaper than permuting n_meas phase
+        # rows), then the epoch's phase accrual is a single
+        # (m, 3J) x (3J, n) matmul; phases never change order at all.
+        P_true = (pos_steps + shiftvox_s[None]).reshape(3 * J, n)
         perm = lax.sort(
-            (keys,) + tuple(grouped[:, j] for j in range(8)),
-            dimension=1,
-            num_keys=1,
+            (ids_s,) + tuple(P_true[r] for r in range(3 * J)), num_keys=1
         )
-        dphi_orig = jnp.stack(perm[1:], axis=1).reshape(m_pad, n)
-        phases = phases + dphi_orig
+        P_canon = jnp.stack(perm[1:])
+        g_flat = g_e.transpose(1, 0, 2).reshape(m, 3 * J).astype(dtype)
+        phases = phases + lax.dot(
+            g_flat, P_canon, preferred_element_type=phases.dtype
+        )
 
         # idexc travels with positions (epoch order); phases stay original.
         positions = pos_s + shiftvox_s
@@ -688,4 +670,43 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
     positions = jnp.stack(ops[1:4])[:, :n_true]
     phases = phases[:m, :n_true]
     iter_exc = (idexc & 1).astype(bool)
+    return (positions, phases, iter_exc), None
+
+
+def run_window_fused_sharded(device_mesh, spec, positions, phases, iter_exc,
+                             g_eff, ts, seed32, epsilon, max_iter,
+                             interpret=False):
+    """Shard-mapped fused window: per-shard sorts and kernel launches.
+
+    Spins are embarrassingly parallel, so the whole fused pipeline (epoch
+    sort, kernel, phase matmul) runs shard-locally under ``shard_map`` with
+    zero cross-device communication; the walker ids are offset per shard so
+    every spin keeps the global RNG stream it would have on one device,
+    making the physics independent of the device count. (The reference is
+    strictly single-GPU: disimpy/simulations.py:1163-1166.)
+    """
+    from jax.experimental.shard_map import shard_map
+    from ..parallel.sharding import SPIN_AXIS
+    from jax.sharding import PartitionSpec as P
+
+    n_global = positions.shape[1]
+    n_local = n_global // device_mesh.devices.size
+
+    def local(spec_l, pos, ph, exc, g_l, ts_l, seed_l, eps_l, mi_l):
+        id_base = lax.axis_index(SPIN_AXIS) * jnp.int32(n_local)
+        (p2, ph2, e2), _ = run_window_fused(
+            spec_l, pos, ph, exc, g_l, ts_l, seed_l, eps_l, mi_l,
+            interpret=interpret, id_base=id_base,
+        )
+        return p2, ph2, e2
+
+    col = P(None, SPIN_AXIS)
+    positions, phases, iter_exc = shard_map(
+        local,
+        mesh=device_mesh,
+        in_specs=(P(), col, col, P(SPIN_AXIS), P(), P(), P(), P(), P()),
+        out_specs=(col, col, P(SPIN_AXIS)),
+        check_rep=False,
+    )(spec, positions, phases, iter_exc, g_eff, ts, seed32, epsilon,
+      max_iter)
     return (positions, phases, iter_exc), None

@@ -47,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import krng
 from .fused import BITS, CH_MAX as _CH_MAX
 
-TILE = 128
+TILE = 256
 KCHUNK = 128
 CH_MAX = _CH_MAX  # max chunks per cell row (pack_fused enforces)
 ARENA_CH = 64  # resident arena capacity (chunks); windows split bigger demand
@@ -59,6 +59,10 @@ _INF = np.float32(np.inf)
 # row (real geometry) or the table's zero tail (rejected by det == 0).
 _CLASSES = (1, 2, 4, 8, 16, 32)
 
+# Temporary ablation knob for performance debugging (0 = full kernel,
+# 1 = window walks only, 2 = + step scaffolding, 3 = + first pass only).
+_DEBUG_ABLATE = 0
+
 
 def _size_class(nch):
     """Smallest DMA size class covering ``nch`` chunks (scalar int32)."""
@@ -69,8 +73,8 @@ def _size_class(nch):
 
 
 def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
-            pi_ref, pf_ref, rows_ref, dirs_ref, table_ref, out_ref, arena,
-            sem, st, act, dacc, nax, nay, naz, *, J):
+            pi_ref, pf_ref, rows_ref, dirs_ref, idrow_ref, table_ref,
+            out_ref, arena, sem, st, act, dacc, nax, nay, naz, *, J):
     """One tile: J time steps, all bounces, windowed over the arena."""
     seed = pi_ref[0, 0]
     max_iter = pi_ref[0, 1]
@@ -86,7 +90,6 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
     mask6 = jnp.int32((1 << BITS) - 1)
     max_iter_f = max_iter.astype(jnp.float32)
     lanes = lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
-    ids = pltpu.bitcast(rows_ref[:, 3:4], jnp.int32)
 
     def n_chunks_at(i):
         sh = jnp.int32((J - 1) * BITS)
@@ -115,10 +118,10 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
                 else:
                     cp.wait()
 
-    def walk(w_start, start_not_wait):
+    def walk(w_start, per_run):
         """Walk runs from lane ``w_start`` while their size classes fit the
-        arena, issuing (or waiting on) each non-empty run's DMA. Returns
-        (w_end, occupancy in chunks)."""
+        arena, calling ``per_run(run_lane, arena_offset, full_chunk_count)``
+        for each non-empty run. Returns (w_end, occupancy in chunks)."""
 
         def cond(state):
             i, off, stop = state
@@ -132,7 +135,7 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
 
             @pl.when((~stop) & (nch > 0))
             def _():
-                class_op(i, off, nch, start_not_wait)
+                per_run(i, off, nch)
 
             nxt = jnp.where(stop, i, run_end_at(i))
             return (nxt, jnp.where(stop, off, off + cls), stop)
@@ -186,8 +189,12 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
             jnp.where(better, N2, nz),
         )
 
-    def _pass(s, it, occ):
-        """One bounce pass: fold the window's arena, resolve every hit."""
+    def _pass(s, it, w_start):
+        """One bounce pass: fold each run's step-s chunk prefix, resolve.
+
+        ``s`` is a static epoch-step index (selects the prefix bit field);
+        the per-run walk recomputes the same arena offsets as the fill.
+        """
         x = st[:, 0:1] - o0
         y = st[:, 1:2] - o1
         z = st[:, 2:3] - o2
@@ -198,35 +205,42 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
         cy = z * dx - x * dz
         cz = x * dy - y * dx
 
+        # Only the distance accumulator needs resetting: a normal lane is
+        # read back only where its distance lane won this pass's min.
         dacc[...] = jnp.full((TILE, 2 * KCHUNK), _INF, jnp.float32)
-        nax[...] = jnp.zeros((TILE, 2 * KCHUNK), jnp.float32)
-        nay[...] = jnp.zeros((TILE, 2 * KCHUNK), jnp.float32)
-        naz[...] = jnp.zeros((TILE, 2 * KCHUNK), jnp.float32)
 
-        def fold(g, _):
-            # two independent 128-wide DAGs per iteration: interleaved
-            # instruction streams pipeline like one 256-wide op
-            d0, n0x, n0y, n0z = _fold_half(
-                arena[2 * g], x, y, z, dx, dy, dz, cx, cy, cz,
-                dacc[:, 0:KCHUNK], nax[:, 0:KCHUNK], nay[:, 0:KCHUNK],
-                naz[:, 0:KCHUNK],
-            )
-            d1, n1x, n1y, n1z = _fold_half(
-                arena[2 * g + 1], x, y, z, dx, dy, dz, cx, cy, cz,
-                dacc[:, KCHUNK:], nax[:, KCHUNK:], nay[:, KCHUNK:],
-                naz[:, KCHUNK:],
-            )
-            dacc[:, 0:KCHUNK] = d0
-            dacc[:, KCHUNK:] = d1
-            nax[:, 0:KCHUNK] = n0x
-            nax[:, KCHUNK:] = n1x
-            nay[:, 0:KCHUNK] = n0y
-            nay[:, KCHUNK:] = n1y
-            naz[:, 0:KCHUNK] = n0z
-            naz[:, KCHUNK:] = n1z
-            return 0
+        sh_s = jnp.int32(s * BITS)
 
-        lax.fori_loop(0, (occ + 1) // 2, fold, 0)
+        def fold_run(i, off, nch):
+            cnt = lax.shift_right_logical(packed_ref[0, i], sh_s) & mask6
+
+            def fold(g, _):
+                base = off + 2 * g
+                # two independent 128-wide DAGs per iteration: interleaved
+                # instruction streams pipeline like one 256-wide op
+                d0, n0x, n0y, n0z = _fold_half(
+                    arena[base], x, y, z, dx, dy, dz, cx, cy, cz,
+                    dacc[:, 0:KCHUNK], nax[:, 0:KCHUNK], nay[:, 0:KCHUNK],
+                    naz[:, 0:KCHUNK],
+                )
+                d1, n1x, n1y, n1z = _fold_half(
+                    arena[base + 1], x, y, z, dx, dy, dz, cx, cy, cz,
+                    dacc[:, KCHUNK:], nax[:, KCHUNK:], nay[:, KCHUNK:],
+                    naz[:, KCHUNK:],
+                )
+                dacc[:, 0:KCHUNK] = d0
+                dacc[:, KCHUNK:] = d1
+                nax[:, 0:KCHUNK] = n0x
+                nax[:, KCHUNK:] = n1x
+                nay[:, 0:KCHUNK] = n0y
+                nay[:, KCHUNK:] = n1y
+                naz[:, 0:KCHUNK] = n0z
+                naz[:, KCHUNK:] = n1z
+                return 0
+
+            lax.fori_loop(0, (cnt + 1) // 2, fold, 0)
+
+        walk(w_start, fold_run)
 
         # Final reduce + deterministic tie-break + normal pick (once per
         # pass). Ties across fold groups were already broken
@@ -256,7 +270,10 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
         a = act[...] > 0
         hit = a & (d <= rem + SLACK)
         t_abs = t_base + jnp.int32(s)
-        u = krng.bounce_uniform(seed, t_abs, ids, it)
+        # threefry on the (1, TILE) id row: the 78-op serial chain costs
+        # ~78 cycles on one vreg row vs ~TILE/8 x that on (TILE, 1) columns
+        u_row = krng.bounce_uniform(seed, t_abs, idrow_ref[...], it)
+        u = u_row.T
         go = u < perm
         nrm = jnp.concatenate((nx, ny, nz), axis=1)
         v = d * dirn
@@ -285,12 +302,15 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
 
     def window(w_start):
         # Fill the arena: issue all DMAs, then wait (transfers overlap).
-        w_end, occ = walk(w_start, True)
-        walk(w_start, False)
+        w_end, occ = walk(
+            w_start, lambda i, off, nch: class_op(i, off, nch, True)
+        )
+        walk(w_start, lambda i, off, nch: class_op(i, off, nch, False))
 
-        # Odd occupancy: zero the next chunk so the 2-chunk fold groups
-        # never read stale arena content (fake geometry).
-        @pl.when(occ % 2 == 1)
+        # Zero the chunk after the occupancy: a run's last odd fold group
+        # reads one chunk past its prefix, which for the final run would
+        # otherwise be stale arena content (fake geometry).
+        @pl.when(occ < jnp.int32(ARENA_CH))
         def _():
             arena[pl.ds(occ, 1)] = jnp.zeros((1, 16, KCHUNK), jnp.float32)
 
@@ -328,6 +348,8 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
 
             @pl.when(step_valid)
             def _():
+                if _DEBUG_ABLATE == 1:
+                    return
                 # begin step: fresh direction, full segment, 1 iter entry
                 st[:, 3:4] = jnp.where(
                     wmask, dirs_ref[:, 3 * s + 0 : 3 * s + 1], st[:, 3:4]
@@ -341,8 +363,12 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
                 st[:, 6:7] = jnp.where(wmask, 1.0, st[:, 6:7])
                 st[:, 7:8] = jnp.where(wmask, 1.0, st[:, 7:8])
                 act[...] = jnp.where(wmask, 1.0, 0.0)
+                if _DEBUG_ABLATE == 2:
+                    return
 
-                _pass(s, jnp.int32(0), occ)
+                _pass(s, jnp.int32(0), w_start)
+                if _DEBUG_ABLATE == 3:
+                    return
 
                 # The active count rides the while carry (a ref read inside
                 # `cond` observes stale state on some backends).
@@ -351,7 +377,7 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
 
                 def body(c):
                     it, _ = c
-                    _pass(s, it, occ)
+                    _pass(s, it, w_start)
                     return (it + 1, jnp.sum(act[...]).astype(jnp.int32))
 
                 n0 = jnp.sum(act[...]).astype(jnp.int32)
@@ -381,7 +407,7 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
 
 @partial(jax.jit, static_argnames=("n_steps", "interpret"))
 def _launch(starts, packed, nexts, origin, params_i, params_f, rows, dirs,
-            table, n_steps, interpret=False):
+            ids, table, n_steps, interpret=False):
     n_pad = rows.shape[0]
     n_tiles = n_pad // TILE
     J = n_steps
@@ -399,6 +425,8 @@ def _launch(starts, packed, nexts, origin, params_i, params_f, rows, dirs,
             pl.BlockSpec((1, 4), lambda t: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((TILE, 8), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 16), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -423,7 +451,7 @@ def _launch(starts, packed, nexts, origin, params_i, params_f, rows, dirs,
         interpret=interpret,
     )(starts[None, :], packed[None, :], nexts[None, :], origin[0][None, :],
       origin[1][None, :], origin[2][None, :], params_i, params_f, rows,
-      dirs, table)
+      dirs, ids[None, :], table)
 
 
 def fused_epoch(spec, pos_s, dirs, ids_s, start_s, packed_s, next_end,
@@ -472,7 +500,7 @@ def fused_epoch(spec, pos_s, dirs, ids_s, start_s, packed_s, next_end,
     )[None, :]
     out = _launch(
         start_s, packed_s, next_end, pos_s, params_i, params_f, rows,
-        dirs_in, spec.table, n_steps=J, interpret=interpret,
+        dirs_in, ids_s, spec.table, n_steps=J, interpret=interpret,
     )
     steps = out.reshape(n, J, 4)
     pos_steps = steps[:, :, 0:3].transpose(1, 2, 0)  # (J, 3, n)

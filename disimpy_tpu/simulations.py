@@ -638,18 +638,37 @@ def simulation(
         if mesh_engine == "fused":
             from .engine import fused
 
-            (positions, phases, iter_exc), collected = fused.run_window_fused(
-                spec,
-                positions,
-                phases,
-                iter_exc,
-                g_eff_dev[t0:t1],
-                jnp.arange(t0, t1),
-                seed32,
-                epsilon_dev,
-                max_iter_dev,
-                interpret=engine_config.pallas_interpret,
-            )
+            if mesh is not None:
+                (positions, phases, iter_exc), collected = (
+                    fused.run_window_fused_sharded(
+                        mesh,
+                        spec,
+                        positions,
+                        phases,
+                        iter_exc,
+                        g_eff_dev[t0:t1],
+                        jnp.arange(t0, t1),
+                        seed32,
+                        epsilon_dev,
+                        max_iter_dev,
+                        interpret=engine_config.pallas_interpret,
+                    )
+                )
+            else:
+                (positions, phases, iter_exc), collected = (
+                    fused.run_window_fused(
+                        spec,
+                        positions,
+                        phases,
+                        iter_exc,
+                        g_eff_dev[t0:t1],
+                        jnp.arange(t0, t1),
+                        seed32,
+                        epsilon_dev,
+                        max_iter_dev,
+                        interpret=engine_config.pallas_interpret,
+                    )
+                )
         else:
             (positions, phases, iter_exc), collected = engine_core.run_window(
                 kind,

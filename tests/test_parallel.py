@@ -57,6 +57,38 @@ def test_sharded_sphere_with_padding(mesh8):
     npt.assert_allclose(sharded, single, rtol=1e-4, atol=1e-3)
 
 
+def test_sharded_fused_engine_matches_single_device(mesh8):
+    """The fused engine under shard_map: per-shard sorts and kernel
+    launches with globally-offset walker ids must reproduce the
+    single-device fused run (the RNG streams are id-keyed, so physics is
+    independent of the device count)."""
+    from disimpy_tpu.engine import config
+
+    vertices, faces = meshes.icosphere(radius=5e-6, subdivisions=1)
+    substrate = substrates.mesh(
+        vertices, faces, periodic=True, n_sv=np.array([2, 2, 2]), quiet=True
+    )
+    gradient, dt = example_gradient(20)
+    kwargs = dict(final_pos=True, quiet=True)
+    try:
+        config.use_fused = True
+        config.pallas_interpret = True
+        s1, p1 = simulations.simulation(
+            250, 2e-9, gradient, dt, substrate, **kwargs
+        )
+        s8, p8 = simulations.simulation(
+            250, 2e-9, gradient, dt, substrate, devices=mesh8, **kwargs
+        )
+    finally:
+        config.use_fused = None
+        config.pallas_interpret = False
+    assert s8.shape == (1,) and p8.shape == (250, 3)
+    # Identical id-keyed streams; only the per-tile re-centering origin
+    # (f32 rounding) differs between shardings.
+    npt.assert_allclose(p8, p1, atol=1e-10)
+    npt.assert_allclose(s8, s1, rtol=1e-5, atol=1e-6)
+
+
 def test_sharded_mesh_simulation_matches_single_device(mesh8):
     """The hardest sharded path: the mesh bounce machinery under GSPMD.
 
