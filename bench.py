@@ -34,8 +34,25 @@ def enable_compilation_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
-def build_substrate(step_l):
+def build_substrate(step_l, workload="bundle"):
     from disimpy_tpu import meshes, substrates
+
+    if workload == "neuron":
+        # Irregular geometry: the reference's neuron model (29,688 tris,
+        # disimpy/tests/test_simulations.py:814-831) — a second tuning
+        # target so kernel work doesn't overfit the uniform bundle.
+        import pickle
+
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "tests", "oracles", "neuron-model.pkl",
+        )
+        with open(path, "rb") as f:
+            mesh_dict = pickle.load(f)
+        vertices = np.asarray(mesh_dict["vertices"], dtype=np.float64)
+        faces = np.asarray(mesh_dict["faces"])
+        substrate = substrates.mesh(vertices, faces, periodic=True, quiet=True)
+        return substrate, len(faces)
 
     radius = 1.5e-6
     spacing = 4e-6
@@ -59,7 +76,8 @@ def build_substrate(step_l):
     return substrate, len(faces)
 
 
-def main(n_spins=524288, n_t=150, n_meas=32, profile_dir=None):
+def main(n_spins=524288, n_t=150, n_meas=32, profile_dir=None,
+         workload="bundle"):
     enable_compilation_cache()
     from disimpy_tpu import gradients, simulations
 
@@ -68,7 +86,7 @@ def main(n_spins=524288, n_t=150, n_meas=32, profile_dir=None):
     # discretization a real restricted-diffusion study would use.
     dt = 1.3e-5
     step_l = float(np.sqrt(6 * diffusivity * dt))
-    substrate, n_tris = build_substrate(step_l)
+    substrate, n_tris = build_substrate(step_l, workload=workload)
     print(f"substrate: {n_tris} triangles, n_sv={substrate.n_sv}", file=sys.stderr)
 
     bvals = np.linspace(1e8, 3e9, n_meas)
@@ -109,10 +127,11 @@ def main(n_spins=524288, n_t=150, n_meas=32, profile_dir=None):
         f"timed run: {elapsed:.2f}s for {n_spins} spins x {n_t} steps",
         file=sys.stderr,
     )
+    kind = "periodic mesh" if workload == "bundle" else "neuron mesh"
     print(
         json.dumps(
             {
-                "metric": f"spin-steps/sec/chip, {n_tris}-triangle periodic mesh",
+                "metric": f"spin-steps/sec/chip, {n_tris}-triangle {kind}",
                 "value": value,
                 "unit": "spin-steps/s",
                 "vs_baseline": value / NORTH_STAR,
@@ -125,5 +144,9 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the timed run")
+    ap.add_argument("--workload", choices=("bundle", "neuron"),
+                    default="bundle",
+                    help="bundle: 102k-tri cylinder array (headline); "
+                    "neuron: the reference's 29,688-tri neuron model")
     args = ap.parse_args()
-    main(profile_dir=args.profile)
+    main(profile_dir=args.profile, workload=args.workload)
