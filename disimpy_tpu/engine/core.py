@@ -24,7 +24,10 @@ from . import rng
 from .stepping import STEP_FUNCTIONS
 
 
-@partial(jax.jit, static_argnames=("kind", "collect_positions", "sharded"))
+@partial(
+    jax.jit,
+    static_argnames=("kind", "collect_positions", "sharded", "track"),
+)
 def run_window(
     kind,
     spec,
@@ -38,6 +41,8 @@ def run_window(
     max_iter,
     collect_positions=False,
     sharded=False,
+    track=None,
+    compartments=None,
 ):
     """Advance the ensemble through the time steps ``ts``.
 
@@ -74,22 +79,36 @@ def run_window(
     sharded : bool
         True when the arrays are sharded over a device mesh; gates the
         mesh query off backends that are unsafe under GSPMD.
+    track : None or "exchange" (static)
+        "exchange" additionally carries per-spin membrane-crossing state
+        through the scan; ``compartments`` must then be a tuple
+        ``(crossings, parity, intra_steps)`` of ((n,) int32 cumulative
+        transits, (n,) bool current compartment (True = intra), (n,) int32
+        steps dwelt intra so far). The TPU-native extension behind
+        ``simulation(relaxation=..., exchange_stats=...)``; the reference
+        tracks nothing per-compartment.
 
     Returns
     -------
-    (positions, phases, iter_exc), trajectory
+    (positions, phases, iter_exc), trajectory [, compartments]
         Updated state; ``trajectory`` is (len(ts), 3, n_spins) when
-        ``collect_positions`` else None.
+        ``collect_positions`` else None. With ``track="exchange"`` a third
+        element returns the updated (crossings, parity, intra_steps).
     """
     step_fn = STEP_FUNCTIONS[kind]
     if kind == "mesh":
         step_fn = partial(step_fn, sharded=sharded)
 
     def body(carry, xs):
-        positions, phases, iter_exc = carry
+        if track == "exchange":
+            positions, phases, iter_exc, crossings, parity, intra_steps = carry
+        else:
+            positions, phases, iter_exc = carry
         t, g_t = xs
         step_k = rng.step_key(key, t)
-        positions, exc_t = step_fn(positions, step_k, spec, epsilon, max_iter)
+        positions, exc_t, cross_t = step_fn(
+            positions, step_k, spec, epsilon, max_iter
+        )
         phases = phases + lax.dot(
             g_t.astype(positions.dtype),
             positions,
@@ -97,14 +116,32 @@ def run_window(
         )
         iter_exc = iter_exc | exc_t
         out = positions if collect_positions else None
+        if track == "exchange":
+            # Compartment parity flips on odd membrane transits; the spin
+            # dwells this step in the compartment it ENDS the step in (the
+            # step's transit, if any, happens at an unknown fraction of dt
+            # — attributing the whole step to the final side biases dwell
+            # time by at most half a step per transit).
+            crossings = crossings + cross_t
+            parity = parity ^ (cross_t % 2).astype(bool)
+            intra_steps = intra_steps + parity.astype(jnp.int32)
+            return (
+                positions, phases, iter_exc, crossings, parity, intra_steps
+            ), out
         return (positions, phases, iter_exc), out
 
+    if track == "exchange":
+        carry, trajectory = lax.scan(
+            body, (positions, phases, iter_exc) + tuple(compartments),
+            (ts, g_eff),
+        )
+        return carry[:3], trajectory, carry[3:]
     carry, trajectory = lax.scan(body, (positions, phases, iter_exc), (ts, g_eff))
     return carry, trajectory
 
 
 @partial(jax.jit, static_argnames=("n_valid",))
-def reduce_signal(phases, iter_exc, n_valid=None):
+def reduce_signal(phases, iter_exc, n_valid=None, weights=None):
     """Total signal per measurement: ``Re sum_spins exp(i phi)``, excluding
     iteration-budget-exceeded spins (reference simulations.py:1413-1421).
 
@@ -112,9 +149,12 @@ def reduce_signal(phases, iter_exc, n_valid=None):
     (n_meas, n_spins) phase matrix — host<->device bandwidth, not compute,
     dominated the round-1 driver. ``n_valid`` masks out sharding-padding
     spins (a mask, not a slice, so sharded arrays stay sharded and the
-    reduction lowers to one psum).
+    reduction lowers to one psum). ``weights`` (n,) optionally scales each
+    spin's contribution (relaxation weighting).
     """
     cos = jnp.cos(phases)
+    if weights is not None:
+        cos = cos * weights[None, :]
     excluded = iter_exc[None, :]
     if n_valid is not None:
         excluded = excluded | (
@@ -124,7 +164,9 @@ def reduce_signal(phases, iter_exc, n_valid=None):
 
 
 @jax.jit
-def per_spin_signal(phases, iter_exc):
+def per_spin_signal(phases, iter_exc, weights=None):
     """Per-spin signals ``Re exp(i phi)`` with NaN for excluded spins."""
     cos = jnp.cos(phases)
+    if weights is not None:
+        cos = cos * weights[None, :]
     return jnp.where(iter_exc[None, :], jnp.nan, cos)

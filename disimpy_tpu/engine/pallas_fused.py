@@ -61,6 +61,10 @@ _CLASSES = (1, 2, 4, 8, 16, 32)
 
 # Temporary ablation knob for performance debugging (0 = full kernel,
 # 1 = window walks only, 2 = + step scaffolding, 3 = + first pass only).
+# Threaded into the kernel as a static parameter: module-global reads from
+# inside the kernel body are frozen at FIRST trace (pallas caches the
+# traced kernel jaxpr per function identity), which silently serves the
+# first-compiled variant for every later value.
 _DEBUG_ABLATE = 0
 
 
@@ -74,7 +78,8 @@ def _size_class(nch):
 
 def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
             pi_ref, pf_ref, rows_ref, dirs_ref, idrow_ref, table_ref,
-            out_ref, arena, sem, st, act, dacc, nax, nay, naz, *, J):
+            out_ref, arena, sem, st, act, dacc, nax, nay, naz, *, J,
+            ablate=0):
     """One tile: J time steps, all bounces, windowed over the arena."""
     seed = pi_ref[0, 0]
     max_iter = pi_ref[0, 1]
@@ -348,7 +353,7 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
 
             @pl.when(step_valid)
             def _():
-                if _DEBUG_ABLATE == 1:
+                if ablate == 1:
                     return
                 # begin step: fresh direction, full segment, 1 iter entry
                 st[:, 3:4] = jnp.where(
@@ -363,11 +368,11 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
                 st[:, 6:7] = jnp.where(wmask, 1.0, st[:, 6:7])
                 st[:, 7:8] = jnp.where(wmask, 1.0, st[:, 7:8])
                 act[...] = jnp.where(wmask, 1.0, 0.0)
-                if _DEBUG_ABLATE == 2:
+                if ablate == 2:
                     return
 
                 _pass(s, jnp.int32(0), w_start)
-                if _DEBUG_ABLATE == 3:
+                if ablate == 3:
                     return
 
                 # The active count rides the while carry (a ref read inside
@@ -445,7 +450,7 @@ def _launch(starts, packed, nexts, origin, params_i, params_f, rows, dirs,
         ],
     )
     return pl.pallas_call(
-        partial(_kernel, J=J),
+        partial(_kernel, J=J, ablate=_DEBUG_ABLATE),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, 4 * J), jnp.float32),
         interpret=interpret,

@@ -62,7 +62,8 @@ def step_free(positions, key, spec: FreeSpec, epsilon, max_iter):
     """Free diffusion: unit step, no collisions (reference :682-702)."""
     direction = rng.random_unit_steps(key, positions.shape[1], positions.dtype)
     exc = jnp.zeros(positions.shape[1], dtype=bool)
-    return positions + direction, exc
+    crossings = jnp.zeros(positions.shape[1], dtype=jnp.int32)
+    return positions + direction, exc, crossings
 
 
 def _hit_slack(dtype):
@@ -114,7 +115,8 @@ def _bounce_analytic(positions, key, epsilon, max_iter, distance_and_normal):
     state = (positions, direction, rem, iters, active)
     r0, direction, rem, iters, _ = lax.while_loop(cond, body, state)
     exc = iters >= max_iter
-    return r0 + direction * rem[None, :], exc
+    crossings = jnp.zeros(r0.shape[1], dtype=jnp.int32)
+    return r0 + direction * rem[None, :], exc, crossings
 
 
 def step_sphere(positions, key, spec: SphereSpec, epsilon, max_iter):
@@ -169,7 +171,8 @@ def step_ellipsoid(positions, key, spec: EllipsoidSpec, epsilon, max_iter):
 
 def _resolve_mesh_hits(spec, r0, direction, rem, d, normal, hit, u, epsilon):
     """Apply reflect-or-cross to the spins flagged ``hit`` ((n, 3) layout —
-    the mesh query's internal orientation).
+    the mesh query's internal orientation). Also returns the ``crossed``
+    mask (membrane transits, used for exchange/relaxation tracking).
 
     The crossing decision uses a strict ``u < perm_prob`` so that
     ``perm_prob = 0`` is exactly impermeable for every possible uniform
@@ -186,7 +189,7 @@ def _resolve_mesh_hits(spec, r0, direction, rem, d, normal, hit, u, epsilon):
     )
     direction = jnp.where(reflected[:, None], refl_dir, direction)
     rem = jnp.where(hit, rem - d, rem)
-    return r0, direction, rem
+    return r0, direction, rem, crossed
 
 
 def step_mesh(positions, key, spec: MeshSpec, epsilon, max_iter, sharded=False):
@@ -218,9 +221,10 @@ def step_mesh(positions, key, spec: MeshSpec, epsilon, max_iter, sharded=False):
     d, normal = query(positions, direction, rem)
     hit = d <= rem + slack
     u = rng.uniforms(rng.bounce_key(key, 1), n, dtype)
-    r0, direction, rem = _resolve_mesh_hits(
+    r0, direction, rem, crossed = _resolve_mesh_hits(
         spec, positions, direction, rem, d, normal, hit, u, epsilon
     )
+    crossings = crossed.astype(jnp.int32)
     iters = jnp.ones(n, dtype=jnp.int32)
     active = hit & (rem > 0) & (1 < max_iter)
 
@@ -235,7 +239,7 @@ def step_mesh(positions, key, spec: MeshSpec, epsilon, max_iter, sharded=False):
         return jnp.any(state[4])
 
     def body(state):
-        r0, direction, rem, iters, active, bounce_idx = state
+        r0, direction, rem, iters, active, crossings, bounce_idx = state
         idx = jnp.nonzero(active, size=capacity, fill_value=n)[0]
         valid = idx < n
         idx_c = jnp.minimum(idx, n - 1)
@@ -246,22 +250,27 @@ def step_mesh(positions, key, spec: MeshSpec, epsilon, max_iter, sharded=False):
         d, normal = query(r0_s, dir_s, rem_s)
         hit = valid & (d <= rem_s + slack)
         u = rng.uniforms(rng.bounce_key(key, bounce_idx), capacity, dtype)
-        r0_s, dir_s, rem_s = _resolve_mesh_hits(
+        r0_s, dir_s, rem_s, crossed = _resolve_mesh_hits(
             spec, r0_s, dir_s, rem_s, d, normal, hit, u, epsilon
         )
+        cross_s = crossings[idx_c] + crossed.astype(jnp.int32)
         still = hit & (rem_s > 0) & (iters_s < max_iter)
         # Scatter the subset back; fill slots (index n) drop out-of-bounds.
         r0 = r0.at[idx].set(r0_s, mode="drop")
         direction = direction.at[idx].set(dir_s, mode="drop")
         rem = rem.at[idx].set(rem_s, mode="drop")
         iters = iters.at[idx].set(iters_s, mode="drop")
+        crossings = crossings.at[idx].set(cross_s, mode="drop")
         active = active.at[idx].set(still, mode="drop")
-        return (r0, direction, rem, iters, active, bounce_idx + 1)
+        return (r0, direction, rem, iters, active, crossings, bounce_idx + 1)
 
-    state = (r0, direction, rem, iters, active, jnp.asarray(2, jnp.int32))
-    r0, direction, rem, iters, _, _ = lax.while_loop(cond, body, state)
+    state = (r0, direction, rem, iters, active, crossings,
+             jnp.asarray(2, jnp.int32))
+    r0, direction, rem, iters, _, crossings, _ = lax.while_loop(
+        cond, body, state
+    )
     exc = iters >= max_iter
-    return (r0 + direction * rem[:, None]).T, exc
+    return (r0 + direction * rem[:, None]).T, exc, crossings
 
 
 STEP_FUNCTIONS = {

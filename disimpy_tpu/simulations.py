@@ -202,6 +202,44 @@ def _column_candidates(substrate, n_faces):
     return table
 
 
+def _make_intra_classifier(substrate):
+    """Build ``classify(points) -> bool (n,)``: True where the point lies
+    inside the closed surface (odd +x-ray crossing parity), points in
+    metres. For non-periodic substrates the 12 voxel-wall triangles
+    appended at construction are excluded from the parity test, as in the
+    reference (simulations.py:531-546).
+    """
+    vertices = substrate.vertices
+    faces = substrate.faces
+    if not substrate.periodic:
+        vertices = vertices[:-8]
+        faces = faces[:-12]
+    triangles = vertices[faces]
+    columns = _column_candidates(substrate, len(faces))
+    n_sv = np.asarray(substrate.n_sv).astype(int)
+    voxel_size = np.asarray(substrate.voxel_size)
+    sv_width = voxel_size / n_sv
+    # Fixed chunk size so the jitted crossing counter compiles once.
+    chunk = max(512, int(2e7) // max(columns.shape[1], 1))
+
+    def classify(p):
+        p = np.asarray(p, dtype=float)
+        n_pad = -(-len(p) // chunk) * chunk
+        padded = np.concatenate((p, np.broadcast_to(p[-1], (n_pad - len(p), 3))))
+        inside = np.empty(n_pad, dtype=bool)
+        for s in range(0, n_pad, chunk):
+            q = padded[s : s + chunk]
+            cy = np.clip((q[:, 1] / sv_width[1]).astype(int), 0, n_sv[1] - 1)
+            cz = np.clip((q[:, 2] / sv_width[2]).astype(int), 0, n_sv[2] - 1)
+            candidates = columns[cy * n_sv[2] + cz]
+            inside[s : s + chunk] = (
+                _ray_crossings_x(q, triangles, candidates) % 2
+            ).astype(bool)
+        return inside[: len(p)]
+
+    return classify
+
+
 def _fill_mesh(n_points, substrate, intra, seed, cuda_bs=None):
     """Sample points uniformly inside ("intra") or outside ("extra") the
     closed surface defined by a mesh substrate's triangles.
@@ -225,37 +263,15 @@ def _fill_mesh(n_points, substrate, intra, seed, cuda_bs=None):
     -------
     numpy.ndarray of shape (n_points, 3)
     """
-    vertices = substrate.vertices
-    faces = substrate.faces
-    if not substrate.periodic:
-        vertices = vertices[:-8]
-        faces = faces[:-12]
-    triangles = vertices[faces]
-    columns = _column_candidates(substrate, len(faces))
-    n_sv = np.asarray(substrate.n_sv).astype(int)
+    classify = _make_intra_classifier(substrate)
     rng = np.random.RandomState(seed)
     voxel_size = np.asarray(substrate.voxel_size)
-    sv_width = voxel_size / n_sv
 
     def proposal(k):
         return rng.random_sample((k, 3)) * voxel_size
 
-    # Fixed chunk size so the jitted crossing counter compiles once.
-    chunk = max(512, int(2e7) // max(columns.shape[1], 1))
-
     def accept(p):
-        n_pad = -(-len(p) // chunk) * chunk
-        padded = np.concatenate((p, np.broadcast_to(p[-1], (n_pad - len(p), 3))))
-        inside = np.empty(n_pad, dtype=bool)
-        for s in range(0, n_pad, chunk):
-            q = padded[s : s + chunk]
-            cy = np.clip((q[:, 1] / sv_width[1]).astype(int), 0, n_sv[1] - 1)
-            cz = np.clip((q[:, 2] / sv_width[2]).astype(int), 0, n_sv[2] - 1)
-            candidates = columns[cy * n_sv[2] + cz]
-            inside[s : s + chunk] = (
-                _ray_crossings_x(q, triangles, candidates) % 2
-            ).astype(bool)
-        inside = inside[: len(p)]
+        inside = classify(p)
         return inside if intra else ~inside
 
     return _rejection_fill(n_points, proposal, accept)
@@ -443,6 +459,8 @@ def simulation(
     epsilon=1e-13,
     dtype="float32",
     devices=None,
+    relaxation=None,
+    exchange_stats=False,
 ):
     """Simulate a diffusion-weighted MR experiment and return the signal.
 
@@ -487,13 +505,26 @@ def simulation(
         (requires jax x64 mode; matches the reference's precision).
     devices : None, int, sequence of jax.Device, or jax.sharding.Mesh
         Shard spins over multiple devices. Default: jax's default device.
+    relaxation : float or (T2_intra, T2_extra) pair, optional
+        T2 relaxation weighting (TPU-native extension; the reference has
+        none). A single float T2 (s) weights every spin's signal by
+        ``exp(-n_t * dt / T2)``. A pair applies per-compartment weighting
+        for mesh substrates: each spin accrues ``exp(-dt / T2(c_t))`` per
+        step, where its compartment ``c_t`` (intra/extra the closed
+        surface) is tracked through membrane transits.
+    exchange_stats : bool, optional
+        If True, additionally return a dict of per-walker exchange
+        statistics: ``crossings`` (membrane transits), ``intra_steps``
+        (steps dwelt inside), and ``intra_fraction``. Appended after the
+        other return values.
 
     Returns
     -------
     signal : numpy.ndarray
         Simulated signal per measurement, ``Re sum_spins exp(i phi)``; or
         per-walker signals if ``all_signals``; optionally with final walker
-        positions as a tuple if ``final_pos``.
+        positions as a tuple if ``final_pos``; optionally with the
+        exchange-statistics dict last if ``exchange_stats``.
     """
     # --- Validation (parity with reference simulations.py:1127-1153).
     if not isinstance(n_walkers, int) or n_walkers <= 0:
@@ -522,6 +553,33 @@ def simulation(
         raise ValueError("Incorrect value (%s) for cuda_bs" % cuda_bs)
     if not isinstance(max_iter, int) or max_iter < 1:
         raise ValueError("Incorrect value (%s) for max_iter" % max_iter)
+    if not isinstance(exchange_stats, bool):
+        raise ValueError("Incorrect value (%s) for exchange_stats" % exchange_stats)
+    relax_pair = None
+    relax_scalar = None
+    if relaxation is not None:
+        if isinstance(relaxation, (tuple, list)) and len(relaxation) == 2:
+            t2_intra, t2_extra = (float(relaxation[0]), float(relaxation[1]))
+            if t2_intra <= 0 or t2_extra <= 0:
+                raise ValueError(
+                    "Incorrect value (%s) for relaxation" % (relaxation,)
+                )
+            if substrate.type != "mesh":
+                raise ValueError(
+                    "Two-compartment relaxation requires a mesh substrate"
+                )
+            relax_pair = (t2_intra, t2_extra)
+        elif isinstance(relaxation, (int, float)) and not isinstance(
+            relaxation, bool
+        ) and relaxation > 0:
+            relax_scalar = float(relaxation)
+        else:
+            raise ValueError(
+                "Incorrect value (%s) for relaxation" % (relaxation,)
+            )
+    # Per-spin compartment tracking rides the stepping scan; needed for
+    # exchange statistics and for two-compartment relaxation.
+    track = exchange_stats or relax_pair is not None
     dtype = jnp.dtype(dtype)
     if dtype == jnp.float64 and not jax.config.jax_enable_x64:
         raise ValueError(
@@ -556,6 +614,10 @@ def simulation(
         mesh_engine = engine_config.mesh_engine(
             dtype, needs_traj=bool(traj), sharded=devices is not None
         )
+        if track:
+            # Crossing counts are tracked by the classic per-bounce engine;
+            # the fused kernel does not report transits (yet).
+            mesh_engine = "classic"
     spec, positions_np, frame_to_lab, extent, mesh_engine = _prepare_substrate(
         substrate, n_walkers, seed, scale, dtype, quiet,
         mesh_engine=mesh_engine,
@@ -611,6 +673,36 @@ def simulation(
             mesh, positions, phases, iter_exc
         )
         g_eff_dev, spec = par.replicate(mesh, g_eff_dev, spec)
+
+    compartments = None
+    if track:
+        if substrate.type == "mesh":
+            ip = substrate.init_pos
+            if isinstance(ip, str) and ip == "intra":
+                parity_np = np.ones(n_padded, dtype=bool)
+            elif isinstance(ip, str) and ip == "extra":
+                parity_np = np.zeros(n_padded, dtype=bool)
+            else:
+                # Classify arbitrary starting points by ray-crossing parity
+                # (mesh frame == lab frame; engine units -> metres).
+                parity_np = _make_intra_classifier(substrate)(
+                    positions_np * step_l
+                )
+        else:
+            # Analytic substrates confine their walkers: label them intra
+            # (free diffusion has no membrane; label extra).
+            parity_np = np.full(n_padded, substrate.type != "free", bool)
+        crossings = jnp.zeros(n_padded, jnp.int32)
+        parity = jnp.asarray(parity_np)
+        intra_steps = jnp.zeros(n_padded, jnp.int32)
+        if mesh is not None:
+            spin_sharding = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(par.SPIN_AXIS)
+            )
+            crossings = jax.device_put(crossings, spin_sharding)
+            parity = jax.device_put(parity, spin_sharding)
+            intra_steps = jax.device_put(intra_steps, spin_sharding)
+        compartments = (crossings, parity, intra_steps)
 
     key = jax.random.PRNGKey(seed)
     epsilon_dev = jnp.asarray(eps_eff, dtype=dtype)
@@ -670,7 +762,7 @@ def simulation(
                     )
                 )
         else:
-            (positions, phases, iter_exc), collected = engine_core.run_window(
+            out = engine_core.run_window(
                 kind,
                 spec,
                 positions,
@@ -683,7 +775,13 @@ def simulation(
                 max_iter_dev,
                 collect_positions=bool(traj),
                 sharded=mesh is not None,
+                track="exchange" if track else None,
+                compartments=compartments,
             )
+            if track:
+                (positions, phases, iter_exc), collected, compartments = out
+            else:
+                (positions, phases, iter_exc), collected = out
         if traj:
             collected = np.asarray(collected)
             for step_positions in collected:
@@ -704,6 +802,16 @@ def simulation(
             + "check algorithm for walkers %s" % np.where(iter_exc_np)[0]
         )
 
+    # Relaxation weighting: per-spin weights from compartment dwell times
+    # (pair), or one global scalar (uniform T2).
+    weights = None
+    if relax_pair is not None:
+        k_intra = compartments[2].astype(dtype)
+        lw = (dt / relax_pair[0]) * k_intra + (dt / relax_pair[1]) * (
+            jnp.asarray(float(n_t), dtype) - k_intra
+        )
+        weights = jnp.exp(-lw)
+
     if all_signals:
         # Per-walker signals are inherently an (n_meas, n_walkers) fetch;
         # compute Re exp(i phi) and the NaN masking on device so the
@@ -716,16 +824,32 @@ def simulation(
                 "consider fewer walkers or the total signal instead"
             )
         signals = np.asarray(
-            engine_core.per_spin_signal(phases, iter_exc)[:, :n_walkers],
+            engine_core.per_spin_signal(phases, iter_exc, weights=weights)[
+                :, :n_walkers
+            ],
             dtype=float,
         )
     else:
         signals = np.asarray(
-            engine_core.reduce_signal(phases, iter_exc, n_valid=n_walkers),
+            engine_core.reduce_signal(
+                phases, iter_exc, n_valid=n_walkers, weights=weights
+            ),
             dtype=float,
         )
+    if relax_scalar is not None:
+        signals = signals * np.exp(-n_t * dt / relax_scalar)
     if not quiet:
         print("\rSimulation finished")
+    ret = [signals]
     if final_pos:
-        return signals, to_lab(positions[:, :n_walkers])
-    return signals
+        ret.append(to_lab(positions[:, :n_walkers]))
+    if exchange_stats:
+        intra_steps_np = np.asarray(compartments[2][:n_walkers])
+        ret.append(
+            {
+                "crossings": np.asarray(compartments[0][:n_walkers]),
+                "intra_steps": intra_steps_np,
+                "intra_fraction": intra_steps_np / float(n_t),
+            }
+        )
+    return tuple(ret) if len(ret) > 1 else signals

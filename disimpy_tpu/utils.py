@@ -150,3 +150,84 @@ def show_mesh(substrate, seed=123, show=True):
     if show:  # pragma: no cover
         plt.show()
     return fig
+
+
+def save_camino_traj(path, traj_file, dt):
+    """Convert an ASCII trajectories file to a Camino-style trajfile.
+
+    The input is the text format written by ``simulations.simulation``'s
+    ``traj`` argument (one line per time point: ``x1 y1 z1 x2 y2 z2 ...``
+    in metres). The output is the binary walker-trajectory layout consumed
+    by Camino's ``datasynth`` (``trajfile``): big-endian, a header of three
+    float64 values ``[duration_s, n_walkers, n_timepoints]`` followed, for
+    each time point and walker, by one record ``[t_s (float64),
+    walker_index (int32), x, y, z (float64, metres)]``.
+
+    Parameters
+    ----------
+    path : str
+        Output trajfile path.
+    traj_file : str or numpy.ndarray
+        ASCII trajectories file path, or an (n_timepoints, n_walkers, 3)
+        position array in metres.
+    dt : float
+        Time-step duration (s).
+
+    Returns
+    -------
+    n_written : int
+        Number of records written (n_timepoints * n_walkers).
+    """
+    if isinstance(traj_file, np.ndarray):
+        traj = np.asarray(traj_file, dtype=float)
+        if traj.ndim != 3 or traj.shape[2] != 3:
+            raise ValueError(
+                "Incorrect trajectory array shape %s" % (traj.shape,)
+            )
+    else:
+        flat = np.loadtxt(traj_file)
+        if flat.ndim == 1:
+            flat = flat[None, :]
+        traj = flat.reshape(flat.shape[0], -1, 3)
+    n_t, n_walkers, _ = traj.shape
+    header = np.array(
+        [(n_t - 1) * float(dt), float(n_walkers), float(n_t)], dtype=">f8"
+    )
+    record = np.dtype(
+        [("t", ">f8"), ("index", ">i4"), ("pos", ">f8", (3,))]
+    )
+    records = np.empty(n_t * n_walkers, dtype=record)
+    records["t"] = np.repeat(np.arange(n_t) * float(dt), n_walkers)
+    records["index"] = np.tile(np.arange(n_walkers, dtype=np.int32), n_t)
+    records["pos"] = traj.reshape(-1, 3)
+    with open(path, "wb") as f:
+        header.tofile(f)
+        records.tofile(f)
+    return n_t * n_walkers
+
+
+def load_camino_traj(path):
+    """Read a Camino-style trajfile written by :func:`save_camino_traj`.
+
+    Returns
+    -------
+    traj : numpy.ndarray
+        (n_timepoints, n_walkers, 3) positions in metres.
+    dt : float
+        Time-step duration (s).
+    """
+    with open(path, "rb") as f:
+        header = np.fromfile(f, dtype=">f8", count=3)
+        duration, n_walkers, n_t = header
+        n_walkers, n_t = int(n_walkers), int(n_t)
+        record = np.dtype(
+            [("t", ">f8"), ("index", ">i4"), ("pos", ">f8", (3,))]
+        )
+        records = np.fromfile(f, dtype=record, count=n_t * n_walkers)
+    traj = np.empty((n_t, n_walkers, 3), dtype=float)
+    traj[
+        np.repeat(np.arange(n_t), n_walkers),
+        records["index"].astype(int),
+    ] = records["pos"]
+    dt = duration / max(n_t - 1, 1)
+    return traj, float(dt)
