@@ -685,7 +685,7 @@ def run_window_fused_sharded(device_mesh, spec, positions, phases, iter_exc,
     making the physics independent of the device count. (The reference is
     strictly single-GPU: disimpy/simulations.py:1163-1166.)
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from ..parallel.sharding import SPIN_AXIS
     from jax.sharding import PartitionSpec as P
 
@@ -706,7 +706,7 @@ def run_window_fused_sharded(device_mesh, spec, positions, phases, iter_exc,
         mesh=device_mesh,
         in_specs=(P(), col, col, P(SPIN_AXIS), P(), P(), P(), P(), P()),
         out_specs=(col, col, P(SPIN_AXIS)),
-        check_rep=False,
+        check_vma=False,
     )(spec, positions, phases, iter_exc, g_eff, ts, seed32, epsilon,
       max_iter)
     return (positions, phases, iter_exc), None

@@ -78,8 +78,8 @@ def _size_class(nch):
 
 def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
             pi_ref, pf_ref, rows_ref, dirs_ref, idrow_ref, table_ref,
-            out_ref, arena, sem, st, act, dacc, nax, nay, naz, *, J,
-            ablate=0):
+            out_ref, arena, sem, st, act, ubuf, dacc, nax, nay, naz,
+            roffs, rpcks, rsrcs, rcnt, *, J, ablate=0):
     """One tile: J time steps, all bounces, windowed over the arena."""
     seed = pi_ref[0, 0]
     max_iter = pi_ref[0, 1]
@@ -93,62 +93,78 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
     o2 = oz_ref[0, 0]
     tile_base = pl.program_id(0) * TILE
     mask6 = jnp.int32((1 << BITS) - 1)
+    sh_last = jnp.int32((J - 1) * BITS)
     max_iter_f = max_iter.astype(jnp.float32)
     lanes = lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
-
-    def n_chunks_at(i):
-        sh = jnp.int32((J - 1) * BITS)
-        return lax.shift_right_logical(packed_ref[0, i], sh) & mask6
 
     def run_end_at(i):
         return jnp.minimum(nexts_ref[0, i] - tile_base, TILE)
 
-    def dma(i, off, cls):
-        return pltpu.make_async_copy(
-            table_ref.at[pl.ds(starts_ref[0, i], cls)],
-            arena.at[pl.ds(off, cls)],
-            sem.at[off],
-        )
-
-    def class_op(i, off, nch, start_not_wait):
-        """Start (or wait for) the row's static-size-class DMA."""
+    def class_op(src, off, nch, start_not_wait):
+        """Start (or wait for) a row's static-size-class DMA."""
         for ci, cl in enumerate(_CLASSES):
             lo = 0 if ci == 0 else _CLASSES[ci - 1]
 
             @pl.when((nch > lo) & (nch <= cl))
             def _():
-                cp = dma(i, off, cl)
+                cp = pltpu.make_async_copy(
+                    table_ref.at[pl.ds(src, cl)],
+                    arena.at[pl.ds(off, cl)],
+                    sem.at[off],
+                )
                 if start_not_wait:
                     cp.start()
                 else:
                     cp.wait()
 
-    def walk(w_start, per_run):
+    def fill_walk(w_start):
         """Walk runs from lane ``w_start`` while their size classes fit the
-        arena, calling ``per_run(run_lane, arena_offset, full_chunk_count)``
-        for each non-empty run. Returns (w_end, occupancy in chunks)."""
+        arena: start each non-empty run's DMA and record the window's run
+        table (arena offset, packed counts, table source) in SMEM — the
+        bounce passes then iterate the flat table instead of re-walking
+        the run structure (the walk's scalar class/end arithmetic was a
+        measured ~2 us per pass). Returns (w_end, occupancy in chunks)."""
 
         def cond(state):
-            i, off, stop = state
+            i, off, k, stop = state
             return (i < TILE) & (~stop)
 
         def body(state):
-            i, off, _ = state
-            nch = n_chunks_at(i)
+            i, off, k, _ = state
+            pck = packed_ref[0, i]
+            nch = lax.shift_right_logical(pck, sh_last) & mask6
             cls = jnp.where(nch == 0, 0, _size_class(nch))
             stop = off + cls > jnp.int32(ARENA_CH)
+            rec = (~stop) & (nch > 0)
 
-            @pl.when((~stop) & (nch > 0))
+            @pl.when(rec)
             def _():
-                per_run(i, off, nch)
+                roffs[0, k] = off
+                rpcks[0, k] = pck
+                rsrcs[0, k] = starts_ref[0, i]
+                class_op(starts_ref[0, i], off, nch, True)
 
             nxt = jnp.where(stop, i, run_end_at(i))
-            return (nxt, jnp.where(stop, off, off + cls), stop)
+            return (
+                nxt,
+                jnp.where(stop, off, off + cls),
+                k + rec.astype(jnp.int32),
+                stop,
+            )
 
-        i, off, _ = lax.while_loop(
-            cond, body, (w_start, jnp.int32(0), False)
+        i, off, k, _ = lax.while_loop(
+            cond, body, (w_start, jnp.int32(0), jnp.int32(0), False)
         )
+        rcnt[0, 0] = k
         return i, off
+
+    def wait_runs():
+        def w(kk, _):
+            nch = lax.shift_right_logical(rpcks[0, kk], sh_last) & mask6
+            class_op(rsrcs[0, kk], roffs[0, kk], nch, False)
+            return 0
+
+        lax.fori_loop(0, rcnt[0, 0], w, 0)
 
     def _fold_half(tri, x, y, z, dx, dy, dz, cx, cy, cz, dcur, nx, ny, nz):
         """Feature-form MT of the whole tile against one 128-tri chunk.
@@ -194,11 +210,12 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
             jnp.where(better, N2, nz),
         )
 
-    def _pass(s, it, w_start):
+    def _pass(s, it, parts=3):
         """One bounce pass: fold each run's step-s chunk prefix, resolve.
 
         ``s`` is a static epoch-step index (selects the prefix bit field);
-        the per-run walk recomputes the same arena offsets as the fill.
+        runs come from the SMEM run table recorded by the fill walk.
+        ``parts`` (static, debug): 1 = fold only, 2 = + reduce, 3 = full.
         """
         x = st[:, 0:1] - o0
         y = st[:, 1:2] - o1
@@ -212,40 +229,41 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
 
         # Only the distance accumulator needs resetting: a normal lane is
         # read back only where its distance lane won this pass's min.
-        dacc[...] = jnp.full((TILE, 2 * KCHUNK), _INF, jnp.float32)
+        dacc[...] = jnp.full((TILE, KCHUNK), _INF, jnp.float32)
 
         sh_s = jnp.int32(s * BITS)
 
-        def fold_run(i, off, nch):
-            cnt = lax.shift_right_logical(packed_ref[0, i], sh_s) & mask6
+        def per_run(kk, _):
+            off = roffs[0, kk]
+            cnt = lax.shift_right_logical(rpcks[0, kk], sh_s) & mask6
 
             def fold(g, _):
                 base = off + 2 * g
-                # two independent 128-wide DAGs per iteration: interleaved
-                # instruction streams pipeline like one 256-wide op
+                # two 128-wide feature DAGs per iteration; only their
+                # final latch ops serialize on the shared accumulators,
+                # so the instruction streams still interleave. Folding
+                # both chunks into ONE (TILE, KCHUNK) accumulator keeps
+                # the once-per-pass reduction half as wide.
                 d0, n0x, n0y, n0z = _fold_half(
                     arena[base], x, y, z, dx, dy, dz, cx, cy, cz,
-                    dacc[:, 0:KCHUNK], nax[:, 0:KCHUNK], nay[:, 0:KCHUNK],
-                    naz[:, 0:KCHUNK],
+                    dacc[...], nax[...], nay[...], naz[...],
                 )
                 d1, n1x, n1y, n1z = _fold_half(
                     arena[base + 1], x, y, z, dx, dy, dz, cx, cy, cz,
-                    dacc[:, KCHUNK:], nax[:, KCHUNK:], nay[:, KCHUNK:],
-                    naz[:, KCHUNK:],
+                    d0, n0x, n0y, n0z,
                 )
-                dacc[:, 0:KCHUNK] = d0
-                dacc[:, KCHUNK:] = d1
-                nax[:, 0:KCHUNK] = n0x
-                nax[:, KCHUNK:] = n1x
-                nay[:, 0:KCHUNK] = n0y
-                nay[:, KCHUNK:] = n1y
-                naz[:, 0:KCHUNK] = n0z
-                naz[:, KCHUNK:] = n1z
+                dacc[...] = d1
+                nax[...] = n1x
+                nay[...] = n1y
+                naz[...] = n1z
                 return 0
 
             lax.fori_loop(0, (cnt + 1) // 2, fold, 0)
+            return 0
 
-        walk(w_start, fold_run)
+        lax.fori_loop(0, rcnt[0, 0], per_run, 0)
+        if parts == 1:
+            return
 
         # Final reduce + deterministic tie-break + normal pick (once per
         # pass). Ties across fold groups were already broken
@@ -266,6 +284,10 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
         # stored N is unnormalized (E1 x E2); reflection needs unit length
         rn = lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
         nx, ny, nz = nx * rn, ny * rn, nz * rn
+        if parts == 2:
+            # debug: park the reduce results so they are not dead code
+            st[:, 7:8] = st[:, 7:8] + 0.0 * (nx + ny + nz + d)
+            return
 
         # Resolve (all lanes in one vector phase).
         r0 = st[:, 0:3]
@@ -275,11 +297,19 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
         a = act[...] > 0
         hit = a & (d <= rem + SLACK)
         t_abs = t_base + jnp.int32(s)
-        # threefry on the (1, TILE) id row: the 78-op serial chain costs
-        # ~78 cycles on one vreg row vs ~TILE/8 x that on (TILE, 1) columns
-        u_row = krng.bounce_uniform(seed, t_abs, idrow_ref[...], it)
-        u = u_row.T
-        go = u < perm
+
+        # Crossing uniforms are only needed for permeable membranes; the
+        # common impermeable case skips the 78-op threefry chain AND the
+        # (1, TILE) -> (TILE, 1) relayout every pass (ubuf stays at its
+        # 1.0 init, so `go` is all-False under the strict `<`).
+        @pl.when(perm > 0)
+        def _():
+            # threefry on the (1, TILE) id row: the serial chain costs
+            # ~78 cycles on one vreg row vs ~TILE/8 x that on columns
+            u_row = krng.bounce_uniform(seed, t_abs, idrow_ref[...], it)
+            ubuf[...] = u_row.T
+
+        go = ubuf[...] < perm
         nrm = jnp.concatenate((nx, ny, nz), axis=1)
         v = d * dirn
         inter = r0 + v
@@ -306,11 +336,10 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
         act[...] = jnp.where(a, still.astype(jnp.float32), act[...])
 
     def window(w_start):
-        # Fill the arena: issue all DMAs, then wait (transfers overlap).
-        w_end, occ = walk(
-            w_start, lambda i, off, nch: class_op(i, off, nch, True)
-        )
-        walk(w_start, lambda i, off, nch: class_op(i, off, nch, False))
+        # Fill the arena: issue all DMAs (recording the run table), then
+        # wait on each (the transfers overlap).
+        w_end, occ = fill_walk(w_start)
+        wait_runs()
 
         # Zero the chunk after the occupancy: a run's last odd fold group
         # reads one chunk past its prefix, which for the final run would
@@ -371,8 +400,26 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
                 if ablate == 2:
                     return
 
-                _pass(s, jnp.int32(0), w_start)
+                if ablate in (4, 5):
+                    _pass(s, jnp.int32(0), parts=ablate - 3)
+                    return
+                _pass(s, jnp.int32(0))
                 if ablate == 3:
+                    return
+                if ablate == 8:
+                    # scalar readback of the active count, consumed by a
+                    # never-true predicate (isolates the sync cost of the
+                    # while loop's data-dependent condition)
+                    n0 = jnp.sum(act[...]).astype(jnp.int32)
+
+                    @pl.when(n0 > jnp.int32(1 << 30))
+                    def _():
+                        act[...] = jnp.zeros((TILE, 1), jnp.float32)
+
+                    return
+                if ablate == 7:
+                    # one forced extra pass, no data-dependent control
+                    _pass(s, jnp.int32(1))
                     return
 
                 # The active count rides the while carry (a ref read inside
@@ -382,7 +429,7 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
 
                 def body(c):
                     it, _ = c
-                    _pass(s, it, w_start)
+                    _pass(s, it)
                     return (it + 1, jnp.sum(act[...]).astype(jnp.int32))
 
                 n0 = jnp.sum(act[...]).astype(jnp.int32)
@@ -406,6 +453,7 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
     st[:, 0:3] = rows_ref[:, 0:3]
     st[:, 3:8] = jnp.zeros((TILE, 5), jnp.float32)
     act[...] = jnp.zeros((TILE, 1), jnp.float32)
+    ubuf[...] = jnp.ones((TILE, 1), jnp.float32)
 
     lax.while_loop(lambda w: w < TILE, window, jnp.int32(0))
 
@@ -443,10 +491,15 @@ def _launch(starts, packed, nexts, origin, params_i, params_f, rows, dirs,
             pltpu.SemaphoreType.DMA((ARENA_CH,)),
             pltpu.VMEM((TILE, 8), jnp.float32),
             pltpu.VMEM((TILE, 1), jnp.float32),
-            pltpu.VMEM((TILE, 2 * KCHUNK), jnp.float32),
-            pltpu.VMEM((TILE, 2 * KCHUNK), jnp.float32),
-            pltpu.VMEM((TILE, 2 * KCHUNK), jnp.float32),
-            pltpu.VMEM((TILE, 2 * KCHUNK), jnp.float32),
+            pltpu.VMEM((TILE, 1), jnp.float32),
+            pltpu.VMEM((TILE, KCHUNK), jnp.float32),
+            pltpu.VMEM((TILE, KCHUNK), jnp.float32),
+            pltpu.VMEM((TILE, KCHUNK), jnp.float32),
+            pltpu.VMEM((TILE, KCHUNK), jnp.float32),
+            pltpu.SMEM((1, TILE), jnp.int32),
+            pltpu.SMEM((1, TILE), jnp.int32),
+            pltpu.SMEM((1, TILE), jnp.int32),
+            pltpu.SMEM((1, 1), jnp.int32),
         ],
     )
     return pl.pallas_call(
@@ -457,7 +510,6 @@ def _launch(starts, packed, nexts, origin, params_i, params_f, rows, dirs,
     )(starts[None, :], packed[None, :], nexts[None, :], origin[0][None, :],
       origin[1][None, :], origin[2][None, :], params_i, params_f, rows,
       dirs, ids[None, :], table)
-
 
 def fused_epoch(spec, pos_s, dirs, ids_s, start_s, packed_s, next_end,
                 t_base, n_valid_steps, seed32, epsilon, max_iter,
