@@ -59,20 +59,27 @@ def main():
     bvecs = np.tile(np.array([[1.0, 0.0, 0.0]]), (n_meas, 1))
     gradient, g_dt = gradients.pgse(1e-3, dt * n_t - 1e-3, n_t, bvals, bvecs)
 
-    run_one("baseline J=2", substrate, gradient, g_dt, n_spins, n_t)
+    J0 = engine_config.fused_resort_every
+    run_one(f"baseline J={J0}", substrate, gradient, g_dt, n_spins, n_t)
     run_one("single pass (max_iter=1)", substrate, gradient, g_dt, n_spins,
             n_t, max_iter=1)
 
-    # zero-candidate floor: same table, all per-cell chunk counts zero
+    # zero-candidate floor: same table, all per-cell chunk counts zero.
+    # The key mirrors simulations._prepare_substrate's driver cache key.
     from disimpy_tpu.engine import fused
 
     scale = 1.0 / step_l
-    cache_key = ("fused", float(scale), engine_config.fused_resort_every)
+    cache_key = (
+        "fused", float(scale), engine_config.fused_resort_every,
+        engine_config.fused_cell_steps, fused.quantize_n_hint(n_spins),
+    )
     spec = substrate._accel_cache.get(cache_key)
     if spec is None:
         spec = fused.pack_fused(
             substrate, scale,
             resort_every=engine_config.fused_resort_every,
+            cell_steps=engine_config.fused_cell_steps,
+            n_hint=float(n_spins),
         )
     zero_spec = dataclasses.replace(
         spec, cell_packed=np.zeros_like(np.asarray(spec.cell_packed))
@@ -81,11 +88,12 @@ def main():
     run_one("zero-candidate floor", substrate, gradient, g_dt, n_spins, n_t)
     substrate._accel_cache[cache_key] = spec
 
-    engine_config.fused_resort_every = 4
+    alt_J = 2 if J0 != 2 else 4
+    engine_config.fused_resort_every = alt_J
     try:
-        run_one("J=4", substrate, gradient, g_dt, n_spins, n_t)
+        run_one(f"J={alt_J}", substrate, gradient, g_dt, n_spins, n_t)
     finally:
-        engine_config.fused_resort_every = 2
+        engine_config.fused_resort_every = J0
 
 
 if __name__ == "__main__":

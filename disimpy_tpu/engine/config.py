@@ -15,12 +15,21 @@ spin re-sorts; the packed table's dilation depth). 1..engine.fused.MAX_J.
 The epoch kernel folds each step's distance-ordered chunk prefix, so a
 longer epoch amortizes the sort/back-permute and the arena fill without
 paying the full last-step dilation on early steps.
+
+``fused_cell_steps``: grid cell width (in step lengths) for the fused
+table, or None to let ``pack_fused`` search its width ladder. The kernel
+folds the union of a 256-spin tile's cell rows each bounce pass, so the
+best width balances chunks-per-cell (grows with width) against
+runs-per-tile (shrinks with width); the auto search's proxy leans toward
+narrow cells, and dense ensembles (>~3e5 spins) measure fastest around
+6 step-lengths on the v5e.
 """
 
 use_pallas = None
 pallas_interpret = False
 use_fused = None
 fused_resort_every = 4
+fused_cell_steps = None
 
 
 def _on_tpu():

@@ -208,15 +208,28 @@ def _candidate_pairs(tri_aabb_min, tri_aabb_max, n_sv, sv_width, voxel_size,
 PAIR_LIMIT = int(15e6)
 
 
+def quantize_n_hint(n):
+    """Round an ensemble-size hint to the nearest power of two (>= 1024).
+
+    ``pack_fused``'s cost model only needs the order of magnitude, and the
+    quantization keeps the disk/driver cache keys stable across small
+    changes in ``n_walkers``.
+    """
+    return float(2 ** round(math.log2(max(float(n), 1024.0))))
+
+
 def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
                bytes_limit=TABLE_BYTES_LIMIT, seed_salt=0x6D657368,
-               quiet=True, cache_path=None):
+               quiet=True, cache_path=None, n_hint=2.0e5):
     """Build a :class:`FusedMeshSpec` from a host-side mesh substrate.
 
     Searches (epoch length J descending from ``resort_every``, cell width
-    over a small candidate ladder) for the cheapest configuration that fits
-    the chunk-count and memory budgets; per-spin streaming cost is
-    proxied by the mean last-step chunk count.
+    over a wide-to-narrow candidate ladder) for the cheapest configuration
+    that fits the chunk-count and memory budgets. The cost model mirrors
+    the kernel's measured per-tile-pass cost: each TILE//QFOLD fold
+    sub-block streams the union of the runs overlapping it, so
+    cost ~ (chunks_per_cell + c_run) * (QB / spins_per_cell + 1), with
+    c_run the fixed per-run walk/DMA overhead in chunk-fold units.
 
     Parameters
     ----------
@@ -228,6 +241,9 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
         the geometry is too dense for the implied dilation.
     cell_steps : float, optional
         If given, only this cell width (in step lengths) is tried.
+    n_hint : float
+        Expected ensemble size: sets the runs-per-fold-block penalty
+        (quantized to the nearest power of two for disk-cache stability).
     """
     import hashlib
     import os
@@ -235,6 +251,7 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
 
     from ..substrates import _triangle_box_overlap_batch
 
+    n_hint_q = quantize_n_hint(n_hint)
     if cache_path is None:
         # Content-keyed disk cache: packing is a pure (and expensive)
         # function of the geometry, the step scale, and the epoch length —
@@ -246,7 +263,8 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
             [scale, resort_every, float(substrate.perm_prob),
              float(substrate.periodic),
              -1.0 if cell_steps is None else float(cell_steps),
-             float(bytes_limit), 6.0]  # 6.0 = pack format version
+             float(bytes_limit), n_hint_q,
+             7.0]  # 7.0 = pack format version
         ).tobytes())
         cache_dir = os.path.join(
             os.path.expanduser("~"), ".cache", "disimpy_tpu"
@@ -286,16 +304,28 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
     if cell_steps is not None:
         widths = [float(cell_steps)]
     else:
-        widths = [4.0, 2.83, 2.0, 1.41, 1.0, 0.71, 0.5, 6.0, 9.0, 13.5, 20.0, 30.0]
+        # Wide-to-narrow: the modeled cost is unimodal in the width
+        # (chunks-per-cell falls, runs-per-block rises), so the search
+        # walks downhill from wide cells and stops one step past the
+        # minimum. Wide widths are also the cheap ones to SAT-build.
+        widths = [30.0, 20.0, 13.5, 9.0, 6.0, 4.0, 2.83, 2.0, 1.41,
+                  1.0, 0.71, 0.5]
     periodic = substrate.periodic
 
-    n_hint = 2.0e5  # expected spin count for the run-length penalty
     for J in range(resort_every, 0, -1):
         dil = _dilations(J, eps_margin=EPS_BOUNCES * eps_budget)
         best = None
         worsened = 0
+        seen_n_sv = set()
         for width in widths:
             n_sv = np.maximum(1, np.floor(voxel_size / width).astype(int))
+            # Several wide widths clamp to the same grid; the table only
+            # depends on n_sv, so re-evaluating is pure waste (and an
+            # equal score must not count as "past the minimum").
+            key = tuple(int(x) for x in n_sv)
+            if key in seen_n_sv:
+                continue
+            seen_n_sv.add(key)
             est = _pair_estimate(
                 aabb_min, aabb_max, n_sv, voxel_size / n_sv, voxel_size,
                 dil[-1], periodic,
@@ -311,33 +341,34 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
             table, cell_start, cell_packed = built
             if table.nbytes > bytes_limit:
                 continue
-            # Effective per-spin streaming cost: chunk counts averaged over
-            # the epoch's steps, times the run/block overlap penalty (short
-            # runs make every 8-spin block straddle several runs).
+            # Kernel cost model (chunk-fold units per fold sub-block per
+            # bounce pass): each QB-spin sub-block streams the union of
+            # the runs overlapping it — (QB / spins-per-cell + 1) runs of
+            # ``curve`` chunks each, plus ~1.1 chunk-folds of per-run
+            # scalar walk/DMA overhead (measured ~0.25 us/iteration vs
+            # ~0.22 us per 64x128 fold, benchmarks/README.md).
             curve = np.mean([
                 float(np.mean((cell_packed >> (BITS * s)) & ((1 << BITS) - 1)))
                 for s in range(J)
             ])
-            lam = max(n_hint / float(np.prod(n_sv)), 1.0)
-            score = curve * (1.0 + 8.0 / lam)
+            from .pallas_fused import TILE as _TILE, _QFOLD
+            qb = _TILE // max(_QFOLD, 1)
+            lam = max(n_hint_q / float(np.prod(n_sv)), 1.0)
+            score = (curve + 1.1) * (qb / lam + 1.0)
             if not quiet:
                 print(
                     f"pack_fused: J={J} width={width} n_sv={tuple(n_sv)} "
                     f"eff-chunks={score:.2f} {table.nbytes/1e6:.0f}MB"
                 )
-            cand = (score, table.nbytes, built, tuple(int(x) for x in n_sv))
+            cand = (score, table.nbytes, built, key)
             if best is None or cand[:2] < best[:2]:
                 best = cand
                 worsened = 0
-            else:
+            elif score > best[0]:
+                # Strictly past the (unimodal) minimum: stop the walk.
                 worsened += 1
                 if worsened >= 1:
                     break
-            # Good enough in absolute terms: ~4 chunk-streams per
-            # spin-step is already DMA/compute-balanced; further search
-            # buys little but costs minutes of host SAT time.
-            if score <= 4.0:
-                break
         if best is not None:
             _, _, (table, cell_start, cell_packed), n_sv_t = best
             if cache_path is not None:

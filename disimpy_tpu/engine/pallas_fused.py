@@ -67,6 +67,17 @@ _CLASSES = (1, 2, 4, 8, 16, 32)
 # first-compiled variant for every later value.
 _DEBUG_ABLATE = 0
 
+# Fold granularity: the tile is split into QFOLD static sub-blocks of
+# TILE // QFOLD spins, and each sub-block folds only the runs whose lane
+# ranges overlap it (the fill walk records per-sub-block run index ranges;
+# runs are lane-ordered, so each sub-block's runs are contiguous in the
+# run table). A full-tile fold wastes (TILE - run_length) lanes per chunk
+# on geometry those spins can never be near; sub-block folds cut the
+# wasted width at the cost of ~0.25 us of Mosaic loop overhead per extra
+# (run x sub-block) iteration, so the optimum is a few sub-blocks, not
+# per-sublane granularity. Must divide TILE into multiples of 8 rows.
+_QFOLD = 4
+
 
 def _size_class(nch):
     """Smallest DMA size class covering ``nch`` chunks (scalar int32)."""
@@ -79,7 +90,8 @@ def _size_class(nch):
 def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
             pi_ref, pf_ref, rows_ref, dirs_ref, idrow_ref, table_ref,
             out_ref, arena, sem, st, act, ubuf, dacc, nax, nay, naz,
-            roffs, rpcks, rsrcs, rcnt, *, J, ablate=0):
+            roffs, rpcks, rsrcs, rcnt, rq0s, rq1s, *, J, ablate=0,
+            qfold=1):
     """One tile: J time steps, all bounces, windowed over the arena."""
     seed = pi_ref[0, 0]
     max_iter = pi_ref[0, 1]
@@ -92,6 +104,7 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
     o1 = oy_ref[0, 0]
     o2 = oz_ref[0, 0]
     tile_base = pl.program_id(0) * TILE
+    QB = TILE // qfold  # fold sub-block height (rows)
     mask6 = jnp.int32((1 << BITS) - 1)
     sh_last = jnp.int32((J - 1) * BITS)
     max_iter_f = max_iter.astype(jnp.float32)
@@ -136,6 +149,7 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
             cls = jnp.where(nch == 0, 0, _size_class(nch))
             stop = off + cls > jnp.int32(ARENA_CH)
             rec = (~stop) & (nch > 0)
+            end = run_end_at(i)
 
             @pl.when(rec)
             def _():
@@ -143,8 +157,22 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
                 rpcks[0, k] = pck
                 rsrcs[0, k] = starts_ref[0, i]
                 class_op(starts_ref[0, i], off, nch, True)
+                # Runs are lane-ordered, so each fold sub-block's runs are
+                # a contiguous [rq0s, rq1s) range of the run table.
+                for q in range(qfold):
+                    ov = (i < jnp.int32((q + 1) * QB)) & (
+                        end > jnp.int32(q * QB)
+                    )
 
-            nxt = jnp.where(stop, i, run_end_at(i))
+                    @pl.when(ov & (rq0s[0, q] > k))
+                    def _():
+                        rq0s[0, q] = k
+
+                    @pl.when(ov)
+                    def _():
+                        rq1s[0, q] = k + 1
+
+            nxt = jnp.where(stop, i, end)
             return (
                 nxt,
                 jnp.where(stop, off, off + cls),
@@ -152,6 +180,9 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
                 stop,
             )
 
+        for q in range(qfold):
+            rq0s[0, q] = jnp.int32(TILE)
+            rq1s[0, q] = jnp.int32(0)
         i, off, k, _ = lax.while_loop(
             cond, body, (w_start, jnp.int32(0), jnp.int32(0), False)
         )
@@ -233,35 +264,48 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
 
         sh_s = jnp.int32(s * BITS)
 
-        def per_run(kk, _):
-            off = roffs[0, kk]
-            cnt = lax.shift_right_logical(rpcks[0, kk], sh_s) & mask6
+        # Each fold sub-block q streams only the runs overlapping its lane
+        # range [q*QB, (q+1)*QB): a full-tile fold would spend
+        # (TILE - run_length) wasted lanes per chunk on geometry those
+        # spins can never reach. Straddling runs fold in every sub-block
+        # they touch (their chunks stream once per overlapped block).
+        for q in range(qfold):
+            sl = slice(q * QB, (q + 1) * QB)
+            xq, yq, zq = x[sl], y[sl], z[sl]
+            dxq, dyq, dzq = dx[sl], dy[sl], dz[sl]
+            cxq, cyq, czq = cx[sl], cy[sl], cz[sl]
 
-            def fold(g, _):
-                base = off + 2 * g
-                # two 128-wide feature DAGs per iteration; only their
-                # final latch ops serialize on the shared accumulators,
-                # so the instruction streams still interleave. Folding
-                # both chunks into ONE (TILE, KCHUNK) accumulator keeps
-                # the once-per-pass reduction half as wide.
-                d0, n0x, n0y, n0z = _fold_half(
-                    arena[base], x, y, z, dx, dy, dz, cx, cy, cz,
-                    dacc[...], nax[...], nay[...], naz[...],
-                )
-                d1, n1x, n1y, n1z = _fold_half(
-                    arena[base + 1], x, y, z, dx, dy, dz, cx, cy, cz,
-                    d0, n0x, n0y, n0z,
-                )
-                dacc[...] = d1
-                nax[...] = n1x
-                nay[...] = n1y
-                naz[...] = n1z
+            def per_run(kk, _, sl=sl, xq=xq, yq=yq, zq=zq, dxq=dxq,
+                        dyq=dyq, dzq=dzq, cxq=cxq, cyq=cyq, czq=czq):
+                off = roffs[0, kk]
+                cnt = lax.shift_right_logical(rpcks[0, kk], sh_s) & mask6
+
+                def fold(g, _):
+                    base = off + 2 * g
+                    # two 128-wide feature DAGs per iteration; only their
+                    # final latch ops serialize on the shared accumulators,
+                    # so the instruction streams still interleave. Folding
+                    # both chunks into ONE (QB, KCHUNK) accumulator keeps
+                    # the once-per-pass reduction half as wide.
+                    d0, n0x, n0y, n0z = _fold_half(
+                        arena[base], xq, yq, zq, dxq, dyq, dzq,
+                        cxq, cyq, czq,
+                        dacc[sl], nax[sl], nay[sl], naz[sl],
+                    )
+                    d1, n1x, n1y, n1z = _fold_half(
+                        arena[base + 1], xq, yq, zq, dxq, dyq, dzq,
+                        cxq, cyq, czq, d0, n0x, n0y, n0z,
+                    )
+                    dacc[sl] = d1
+                    nax[sl] = n1x
+                    nay[sl] = n1y
+                    naz[sl] = n1z
+                    return 0
+
+                lax.fori_loop(0, (cnt + 1) // 2, fold, 0)
                 return 0
 
-            lax.fori_loop(0, (cnt + 1) // 2, fold, 0)
-            return 0
-
-        lax.fori_loop(0, rcnt[0, 0], per_run, 0)
+            lax.fori_loop(rq0s[0, q], rq1s[0, q], per_run, 0)
         if parts == 1:
             return
 
@@ -500,10 +544,12 @@ def _launch(starts, packed, nexts, origin, params_i, params_f, rows, dirs,
             pltpu.SMEM((1, TILE), jnp.int32),
             pltpu.SMEM((1, TILE), jnp.int32),
             pltpu.SMEM((1, 1), jnp.int32),
+            pltpu.SMEM((1, max(_QFOLD, 1)), jnp.int32),
+            pltpu.SMEM((1, max(_QFOLD, 1)), jnp.int32),
         ],
     )
     return pl.pallas_call(
-        partial(_kernel, J=J, ablate=_DEBUG_ABLATE),
+        partial(_kernel, J=J, ablate=_DEBUG_ABLATE, qfold=_QFOLD),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, 4 * J), jnp.float32),
         interpret=interpret,

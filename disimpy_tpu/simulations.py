@@ -385,7 +385,13 @@ def _prepare_substrate(substrate, n_walkers, seed, scale, dtype, quiet,
             from .engine import config as engine_config
             from .engine import fused
 
-            cache_key = ("fused", float(scale), engine_config.fused_resort_every)
+            cache_key = (
+                "fused",
+                float(scale),
+                engine_config.fused_resort_every,
+                engine_config.fused_cell_steps,
+                fused.quantize_n_hint(n_walkers),
+            )
             if cache_key in substrate._accel_cache:
                 spec = substrate._accel_cache[cache_key]
             else:
@@ -394,6 +400,8 @@ def _prepare_substrate(substrate, n_walkers, seed, scale, dtype, quiet,
                         substrate,
                         scale,
                         resort_every=engine_config.fused_resort_every,
+                        cell_steps=engine_config.fused_cell_steps,
+                        n_hint=float(n_walkers),
                     )
                 except ValueError:
                     # Geometry too dense for any fused configuration
