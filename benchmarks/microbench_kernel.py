@@ -549,10 +549,186 @@ def m_dma_pipelined(reps=100_000, depth=4):
           iters_per_call=reps)
 
 
+# ------------------------------------------------- N: flipped (row-form) fold
+def n_flip_fold(n_lanes, groups, reps=200_000):
+    """Row-form MT fold: spins in LANES, an 8-triangle group in SUBLANES.
+
+    Per iteration: fold ``groups`` 8-tri groups against (1, n_lanes) spin
+    rows with the full feature-form accept DAG and (8, n_lanes) best-d /
+    normal latch accumulators. Triangle features are (8, 1) column slices
+    of a pre-packed (8, 16*groups) chunk — the layout the flipped kernel
+    would DMA. Tests the two risky lowerings at once: (8,1) lane-broadcast
+    and (1,N) sublane-broadcast meeting in one (8,N) expression.
+    """
+
+    def kern(st_ref, tri_ref, o_ref):
+        def body(i, carry):
+            st, bd, bn0, bn1, bn2 = carry
+            x = st[0:1]
+            y = st[1:2]
+            z = st[2:3]
+            dx = st[3:4]
+            dy = st[4:5]
+            dz = st[5:6]
+            cx = y * dz - z * dy
+            cy = z * dx - x * dz
+            cz = x * dy - y * dx
+            for g in range(groups):
+                tri = [
+                    tri_ref[:, g * 16 + j : g * 16 + j + 1] for j in range(16)
+                ]
+                det = -(dx * tri[0] + dy * tri[1] + dz * tri[2])
+                tn = (x * tri[0] + y * tri[1] + z * tri[2]) - tri[3]
+                un = (cx * tri[4] + cy * tri[5] + cz * tri[6]) - (
+                    dx * tri[7] + dy * tri[8] + dz * tri[9]
+                )
+                vn = -(cx * tri[10] + cy * tri[11] + cz * tri[12]) - (
+                    dx * tri[13] + dy * tri[14] + dz * tri[15]
+                )
+                inv = 1.0 / det
+                t = tn * inv
+                u = un * inv
+                v = vn * inv
+                ok = (
+                    (det != 0)
+                    & (u >= -1e-5)
+                    & (u <= 1 + 1e-5)
+                    & (v >= -1e-5)
+                    & (u + v <= 1 + 1e-5)
+                    & (t > 0)
+                )
+                t = jnp.where(ok, t, jnp.float32(np.inf))
+                better = t < bd
+                bd = jnp.where(better, t, bd)
+                bn0 = jnp.where(better, tri[0], bn0)
+                bn1 = jnp.where(better, tri[1], bn1)
+                bn2 = jnp.where(better, tri[2], bn2)
+            st = st + 1e-7 * jnp.minimum(bd[0:1], 1.0)  # anti-hoist
+            return (st, bd, bn0, bn1, bn2)
+
+        inf = jnp.full((8, n_lanes), np.inf, jnp.float32)
+        z = jnp.zeros((8, n_lanes), jnp.float32)
+        st, bd, bn0, bn1, bn2 = lax.fori_loop(
+            0, reps, body, (st_ref[...], inf, z, z, z)
+        )
+        o_ref[...] = bd + bn0 + bn1 + bn2 + st[0:1]
+
+    @jax.jit
+    def run(st, tri):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((8, n_lanes), jnp.float32),
+        )(st, tri)
+
+    st = jax.random.uniform(jax.random.PRNGKey(0), (8, n_lanes))
+    tri = jax.random.uniform(jax.random.PRNGKey(1), (8, 16 * groups))
+    bench(
+        f"N flip fold {groups}x8tri x {n_lanes}sp x{reps}",
+        run,
+        st,
+        tri,
+        pairs_per_call=8 * groups * n_lanes * reps,
+        iters_per_call=reps,
+    )
+
+
+# ------------------------------------------------- O: row-form pass machinery
+def o_row_machinery(n_lanes, reps=200_000):
+    """Per-pass machinery in row form: sublane-reduce the (8, N) best-d +
+    normal accumulators to (1, N) rows (min + tie-broken pick), then the
+    full resolve DAG on (1..3, N) rows. The flipped kernel pays this once
+    per bounce pass; compare against the measured ~8 us column-form pass."""
+
+    def kern(st_ref, acc_ref, o_ref):
+        sub = lax.broadcasted_iota(jnp.int32, (8, n_lanes), 0)
+
+        def body(i, carry):
+            st, bd = carry
+            # sublane-reduce: min distance + first-minimal-row pick
+            d = jnp.min(bd, axis=0, keepdims=True)
+            is_min = bd == d
+            row = jnp.min(
+                jnp.where(is_min, sub, jnp.int32(8)), axis=0, keepdims=True
+            )
+            sel = is_min & (sub == row) & (d != np.inf)
+            nx = jnp.sum(jnp.where(sel, acc_ref[...], 0.0), axis=0,
+                         keepdims=True)
+            ny = jnp.sum(jnp.where(sel, acc_ref[...] + 1.0, 0.0), axis=0,
+                         keepdims=True)
+            nz = jnp.sum(jnp.where(sel, acc_ref[...] + 2.0, 0.0), axis=0,
+                         keepdims=True)
+            rn = lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
+            nx, ny, nz = nx * rn, ny * rn, nz * rn
+            # resolve on rows
+            x, y, zc = st[0:1], st[1:2], st[2:3]
+            dxr, dyr, dzr = st[3:4], st[4:5], st[5:6]
+            rem = st[6:7]
+            iters = st[7:8]
+            a = iters < 100.0
+            hit = a & (d <= rem + 1e-5)
+            vx, vy, vz = d * dxr, d * dyr, d * dzr
+            dp = vx * nx + vy * ny + vz * nz
+            s = jnp.where(dp > 0, -1.0, 1.0)
+            nxs, nys, nzs = nx * s, ny * s, nz * s
+            dpo = -jnp.abs(dp)
+            ndx = vx - 2.0 * dpo * nxs
+            ndy = vy - 2.0 * dpo * nys
+            ndz = vz - 2.0 * dpo * nzs
+            rninv = lax.rsqrt(ndx * ndx + ndy * ndy + ndz * ndz)
+            ndx, ndy, ndz = ndx * rninv, ndy * rninv, ndz * rninv
+            rx = x + vx + 1e-6 * nxs
+            ry = y + vy + 1e-6 * nys
+            rz = zc + vz + 1e-6 * nzs
+            nst = jnp.concatenate(
+                (
+                    jnp.where(hit, rx, x),
+                    jnp.where(hit, ry, y),
+                    jnp.where(hit, rz, zc),
+                    jnp.where(hit, ndx, dxr),
+                    jnp.where(hit, ndy, dyr),
+                    jnp.where(hit, ndz, dzr),
+                    jnp.where(hit, rem - d, rem),
+                    iters + jnp.where(hit, 1.0, 0.0),
+                ),
+                axis=0,
+            )
+            return (nst, bd * 1.0000001)  # anti-hoist
+
+        st, bd = lax.fori_loop(
+            0, reps, body, (st_ref[...], acc_ref[...] * 1.0)
+        )
+        o_ref[...] = st + bd
+
+    @jax.jit
+    def run(st, acc):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((8, n_lanes), jnp.float32),
+        )(st, acc)
+
+    st = jax.random.uniform(jax.random.PRNGKey(0), (8, n_lanes))
+    acc = jax.random.uniform(jax.random.PRNGKey(1), (8, n_lanes)) + 0.5
+    bench(
+        f"O row machinery reduce+resolve {n_lanes}sp x{reps}",
+        run,
+        st,
+        acc,
+        iters_per_call=reps,
+    )
+
+
 if __name__ == "__main__":
     import sys
     print(f"backend: {jax.default_backend()}", flush=True)
     floor_bench()
+    if "--flip" in sys.argv:
+        n_flip_fold(128, 1)
+        n_flip_fold(128, 4, reps=100_000)
+        n_flip_fold(256, 4, reps=100_000)
+        n_flip_fold(512, 4, reps=50_000)
+        o_row_machinery(128)
+        o_row_machinery(512, reps=100_000)
+        sys.exit(0)
     if "--quick" in sys.argv:
         sys.exit(0)
     if "--round3" in sys.argv:

@@ -17,12 +17,11 @@ longer epoch amortizes the sort/back-permute and the arena fill without
 paying the full last-step dilation on early steps.
 
 ``fused_cell_steps``: grid cell width (in step lengths) for the fused
-table, or None to let ``pack_fused`` search its width ladder. The kernel
-folds the union of a 256-spin tile's cell rows each bounce pass, so the
-best width balances chunks-per-cell (grows with width) against
-runs-per-tile (shrinks with width); the auto search's proxy leans toward
-narrow cells, and dense ensembles (>~3e5 spins) measure fastest around
-6 step-lengths on the v5e.
+table, or None to let ``pack_fused`` search its width ladder. Each
+128-lane fold block streams the 64-triangle units of the runs overlapping
+it every bounce pass, so the best width balances units-per-cell (grows
+with width) against runs-per-block (shrinks with width); see the cost
+model in ``fused.pack_fused``.
 """
 
 use_pallas = None

@@ -51,10 +51,14 @@ from jax import lax
 from . import krng
 from .specs import _register
 
-# Per-step chunk-count bit width and the maximum epoch length it allows.
+# Per-step unit-count bit width and the maximum epoch length it allows.
 BITS = 6
 MAX_J = 5
-# Max chunks per cell row: the kernel's per-run VMEM arena size. Configs
+# Triangles per table unit: one (8, 128) record block — 8 sublane-groups
+# of 8 triangles, lane 16*g + j = feature j of triangle 8*g + r at
+# sublane r (the fold granularity of pallas_fused._fold_unit).
+UNIT_TRIS = 64
+# Max units per cell row: the kernel's per-run VMEM arena size. Configs
 # needing more fall through to a coarser epoch / finer grid (or, at the
 # driver level, to the classic path).
 CH_MAX = 32
@@ -74,17 +78,20 @@ class FusedMeshSpec:
     Attributes
     ----------
     table : jnp.ndarray
-        (total_chunks, 16, 128) float32 feature-form triangle records
-        (step-length units, pre-shifted by the periodic image offset):
-        rows 0-2 the raw normal N = E1 x E2, row 3 A.N, rows 4-6 E2,
-        rows 7-9 E2 x A, rows 10-12 E1, rows 13-15 A x E1 — the exact
-        coefficients that turn the Moller-Trumbore det/t/u/v into dot
-        products (pallas_fused._fold_half). Triangles occupy lanes;
-        all-zero padding lanes are rejected by det == 0.
+        (total_units, 8, 128) float32 feature-form triangle records
+        (step-length units, pre-shifted by the periodic image offset and
+        translated into the owning cell's local frame — corner at the
+        origin).
+        A unit holds UNIT_TRIS = 64 triangles: sublane r, lane 16*g + j
+        = feature j of triangle 8*g + r, with features [N = E1 x E2 (0-2),
+        A.N (3), E2 (4-6), E2 x A (7-9), E1 (10-12), A x E1 (13-15)] — the
+        exact coefficients that turn the Moller-Trumbore det/t/u/v into
+        dot products (pallas_fused._fold_unit). All-zero padding slots are
+        rejected by det == 0.
     cell_start : jnp.ndarray
-        (n_cells,) int32: first chunk index of each cell's row.
+        (n_cells,) int32: first unit index of each cell's row.
     cell_packed : jnp.ndarray
-        (n_cells,) int32: per-step chunk counts, BITS bits per epoch step
+        (n_cells,) int32: per-step unit counts, BITS bits per epoch step
         (step s count = (packed >> (BITS*s)) & (2**BITS - 1)).
     voxel_size, sv_width : jnp.ndarray
         (3,) voxel extent / cell width (step-length units).
@@ -225,11 +232,12 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
 
     Searches (epoch length J descending from ``resort_every``, cell width
     over a wide-to-narrow candidate ladder) for the cheapest configuration
-    that fits the chunk-count and memory budgets. The cost model mirrors
-    the kernel's measured per-tile-pass cost: each TILE//QFOLD fold
-    sub-block streams the union of the runs overlapping it, so
-    cost ~ (chunks_per_cell + c_run) * (QB / spins_per_cell + 1), with
-    c_run the fixed per-run walk/DMA overhead in chunk-fold units.
+    that fits the unit-count and memory budgets. The cost model mirrors
+    the row-form kernel's measured per-pass cost: each 128-lane fold block
+    streams the units of the runs overlapping it, so per-spin cost
+    ~ (L/BLK + 1) * (c_run + units_per_cell * c_unit) / L with L the run
+    length (spins per cell, capped at TILE) and c_run/c_unit the measured
+    per-run and per-unit fold costs.
 
     Parameters
     ----------
@@ -264,7 +272,7 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
              float(substrate.periodic),
              -1.0 if cell_steps is None else float(cell_steps),
              float(bytes_limit), n_hint_q,
-             7.0]  # 7.0 = pack format version
+             9.0]  # 9.0 = pack format version (cell-local row-form units)
         ).tobytes())
         cache_dir = os.path.join(
             os.path.expanduser("~"), ".cache", "disimpy_tpu"
@@ -341,24 +349,24 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
             table, cell_start, cell_packed = built
             if table.nbytes > bytes_limit:
                 continue
-            # Kernel cost model (chunk-fold units per fold sub-block per
-            # bounce pass): each QB-spin sub-block streams the union of
-            # the runs overlapping it — (QB / spins-per-cell + 1) runs of
-            # ``curve`` chunks each, plus ~1.1 chunk-folds of per-run
-            # scalar walk/DMA overhead (measured ~0.25 us/iteration vs
-            # ~0.22 us per 64x128 fold, benchmarks/README.md).
+            # Kernel cost model (ns per spin-step, row-form kernel): a run
+            # of L spins spans ~L/BLK + 1 fold lane blocks; each block
+            # iteration pays ~100 ns of loop/walk overhead plus ~200 ns
+            # per 64-triangle unit folded (microbench N: ~31 ns per 8-tri
+            # group plus slice extraction), amortized over the run's L
+            # spins (benchmarks/README.md).
             curve = np.mean([
                 float(np.mean((cell_packed >> (BITS * s)) & ((1 << BITS) - 1)))
                 for s in range(J)
             ])
-            from .pallas_fused import TILE as _TILE, _QFOLD
-            qb = _TILE // max(_QFOLD, 1)
+            from .pallas_fused import TILE as _TILE, BLK as _BLK
             lam = max(n_hint_q / float(np.prod(n_sv)), 1.0)
-            score = (curve + 1.1) * (qb / lam + 1.0)
+            L = min(lam, float(_TILE))
+            score = (L / _BLK + 1.0) * (100.0 + curve * 200.0) / L
             if not quiet:
                 print(
                     f"pack_fused: J={J} width={width} n_sv={tuple(n_sv)} "
-                    f"eff-chunks={score:.2f} {table.nbytes/1e6:.0f}MB"
+                    f"ns/spin-step={score:.2f} {table.nbytes/1e6:.0f}MB"
                 )
             cand = (score, table.nbytes, built, key)
             if best is None or cand[:2] < best[:2]:
@@ -455,7 +463,7 @@ def _build_table(tri, aabb_min, aabb_max, n_sv, sv_width, voxel_size, dil,
     )
     n_cells = int(np.prod(n_sv))
     if len(tri_i) == 0:
-        table = np.zeros((1, 16, 128), np.float32)
+        table = np.zeros((1, 8, 128), np.float32)
         return table, np.zeros(n_cells, np.int32), np.zeros(n_cells, np.int32)
 
     # Membership: exact SAT against the largest dilated cell box (one
@@ -492,12 +500,12 @@ def _build_table(tri, aabb_min, aabb_max, n_sv, sv_width, voxel_size, dil,
     cell_i, level, tri_shifted = cell_i[order], level[order], tri_shifted[order]
     per_cell = np.bincount(cell_i, minlength=n_cells)
 
-    # Per-cell, per-step chunk counts.
+    # Per-cell, per-step unit counts (UNIT_TRIS triangles per unit).
     counts = np.zeros((n_cells, J), np.int64)
     for s in range(J):
         c = np.bincount(cell_i[level <= s], minlength=n_cells)
-        counts[:, s] = -(-c // 128)
-        # a row's step-s stream must include every earlier-step chunk
+        counts[:, s] = -(-c // UNIT_TRIS)
+        # a row's step-s stream must include every earlier-step unit
         if s:
             counts[:, s] = np.maximum(counts[:, s], counts[:, s - 1])
     if counts.max() > CH_MAX:
@@ -506,21 +514,30 @@ def _build_table(tri, aabb_min, aabb_max, n_sv, sv_width, voxel_size, dil,
     for s in range(J):
         packed |= counts[:, s] << (BITS * s)
 
-    n_chunks_cell = counts[:, J - 1]
-    cell_start = np.concatenate(([0], np.cumsum(n_chunks_cell)[:-1]))
-    total_chunks = max(int(n_chunks_cell.sum()), 1)
-    if total_chunks * 128 * 16 * 4 > 4 * TABLE_BYTES_LIMIT:
+    n_units_cell = counts[:, J - 1]
+    cell_start = np.concatenate(([0], np.cumsum(n_units_cell)[:-1]))
+    total_units = max(int(n_units_cell.sum()), 1)
+    if total_units * 8 * 128 * 4 > 4 * TABLE_BYTES_LIMIT:
         # Don't even allocate tables that can't fit any budget (the caller
         # checks the exact limit on the returned table).
         return None
 
-    # Feature-form records (see pallas_fused._fold_half): det, t, u, v of
+    # Feature-form records (see pallas_fused._fold_unit): det, t, u, v of
     # Moller-Trumbore become dot products of per-spin features against
-    # [N = E1 x E2 (raw), A.N, E2, E2 x A, E1, A x E1] — 16 rows exactly.
-    # All-zero padding lanes give N = 0 => det = 0 => rejected.
-    A = tri_shifted[:, 0, :]
-    E1 = tri_shifted[:, 1, :] - A
-    E2 = tri_shifted[:, 2, :] - A
+    # [N = E1 x E2 (raw), A.N, E2, E2 x A, E1, A x E1] — 16 values exactly.
+    # All-zero padding slots give N = 0 => det = 0 => rejected.
+    # CELL-LOCAL frame: the affine features subtract the owning cell's
+    # corner so their magnitudes are bounded by the cell width plus the
+    # dilation (f32-safe for any voxel extent); the kernel re-offsets each
+    # run's spins by the same corner (pallas_fused._kernel docstring).
+    # Recomputed from the SORTED cell_i (box_lo predates the lexsort).
+    corner = np.stack(
+        np.unravel_index(cell_i, tuple(n_sv)), axis=1
+    ).astype(np.float64) * sv_width
+    tri_local = tri_shifted - corner[:, None, :]
+    A = tri_local[:, 0, :]
+    E1 = tri_local[:, 1, :] - A
+    E2 = tri_local[:, 2, :] - A
     N = np.cross(E1, E2)
     AN = np.sum(A * N, axis=1, keepdims=True)
     EA = np.cross(E2, A)
@@ -529,16 +546,20 @@ def _build_table(tri, aabb_min, aabb_max, n_sv, sv_width, voxel_size, dil,
 
     row_start = np.concatenate(([0], np.cumsum(per_cell)[:-1]))
     slot = np.arange(len(cell_i)) - row_start[cell_i]
-    flat = cell_start[cell_i] * 128 + slot  # position in the chunk stream
-    flat_arr = np.zeros((total_chunks * 128, 16), np.float32)
+    flat = cell_start[cell_i] * UNIT_TRIS + slot  # slot in the unit stream
+    flat_arr = np.zeros((total_units * UNIT_TRIS, 16), np.float32)
     flat_arr[flat] = rec
+    # Unit layout (pallas_fused._fold_unit): local triangle t = 8*g + r
+    # lands at sublane r, lanes [16*g, 16*g + 16).
     table = np.ascontiguousarray(
-        flat_arr.reshape(total_chunks, 128, 16).transpose(0, 2, 1)
+        flat_arr.reshape(total_units, 8, 8, 16)
+        .transpose(0, 2, 1, 3)
+        .reshape(total_units, 8, 128)
     )
-    # Trailing zero chunks: the kernel's single-DMA row fetch reads a full
-    # size class (up to CH_MAX chunks) from the row start.
+    # Trailing zero units: the kernel's single-DMA row fetch reads a full
+    # size class (up to CH_MAX units) from the row start.
     table = np.concatenate(
-        (table, np.zeros((CH_MAX, 16, 128), np.float32)), axis=0
+        (table, np.zeros((CH_MAX, 8, 128), np.float32)), axis=0
     )
     return table, cell_start.astype(np.int32), packed.astype(np.int32)
 
@@ -651,6 +672,17 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
         idexc_s = ops[9]
         next_end = _run_ends(cell_s)
         ids_s = idexc_s >> 1
+        # Anchor-cell corners (the table rows' coordinate frame), from the
+        # sorted flat cell ids — cheaper than 3 extra sort operands.
+        n1n2 = jnp.int32(spec.n_sv[1] * spec.n_sv[2])
+        cxi = cell_s // n1n2
+        rem_c = cell_s - cxi * n1n2
+        cyi = rem_c // jnp.int32(spec.n_sv[2])
+        czi = rem_c - cyi * jnp.int32(spec.n_sv[2])
+        corner_s = (
+            jnp.stack((cxi, cyi, czi)).astype(jnp.float32)
+            * spec.sv_width[:, None]
+        )
 
         # Per-step unit directions for the whole epoch (id-keyed streams:
         # identical values wherever the spin sits in the sorted ensemble).
@@ -662,7 +694,7 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
         n_valid_steps = jnp.minimum(t0_val + n_t - t_base, J)
         pos_steps, exc_bits = pallas_fused.fused_epoch(
             spec, pos_s, dirs, ids_s, start_s, packed_s, next_end,
-            t_base, n_valid_steps, seed_k, epsilon, max_iter,
+            corner_s, t_base, n_valid_steps, seed_k, epsilon, max_iter,
             interpret=interpret,
         )
         pos_s = pos_steps[-1]

@@ -5,29 +5,45 @@ of an epoch (spins sorted by anchor cell, engine/fused.py). Design points,
 each driven by measurements on the target hardware
 (benchmarks/microbench_kernel.py):
 
+- **Row-form state: spins in LANES, everything per-spin is an (r, TILE)
+  row.** The previous kernel kept per-spin state as (TILE, 1) columns —
+  every resolve/scaffolding op burned TILE/8 vregs at 1/128 lane
+  utilization, and the per-pass machinery measured ~8 us/tile vs ~0.1 us
+  for the identical math on rows (microbench O). Positions, directions,
+  the bounce resolve, the threefry uniforms, and the per-step outputs all
+  live on rows; nothing is ever transposed.
+
+- **Triangle-group folds: 8 triangles in SUBLANES.** A table unit packs
+  64 triangles as (8, 128) — sublane r, lane 16*g + j = feature j of
+  triangle 8*g + r — so one (8, 128) fold tests 8 triangles against a
+  128-spin lane block with (8, 1) x (1, 128) broadcasts (measured ~31 ns
+  per group, ~70 Gpairs/s sustained; microbench N). The 64-triangle unit
+  granularity cuts the wasted fold width ~2-6x vs the previous 128-wide
+  chunks on typical cell occupancies.
+
 - **Resident candidate arena.** Each run's candidate row is DMA'd from HBM
   once per *epoch* (pipelined, ~70 ns/issue) and reused across every step
-  and bounce pass; the previous kernel re-streamed rows per pass and the
-  ~0.4 us serial DMA latency dominated its fixed floor.
+  and bounce pass. The fill walk records a flat SMEM run table (arena
+  offset, packed counts, per-lane-block run ranges) so bounce passes never
+  re-walk the run structure.
 
-- **Union folds, no masking.** Every table entry is real geometry (periodic
-  images are whole-voxel shifts, valid anywhere in wrapped coordinates), so
-  the whole tile is tested against the union of its runs' rows with no
-  per-run lane masks: extra tests are only wasted lanes, never wrong
-  physics, and a spin's own row is always a subset of the union.
+- **Feature-form Moller-Trumbore in cell-local frames.** The table stores
+  per-triangle vectors [N = E1 x E2, A.N, E2, E2 x A, E1, A x E1] so that
+  det, t, u, v are pure dot products against per-spin features
+  (d, r0, r0 x d): ~29 elementwise ops per spin-triangle pair vs ~58 for
+  the corner/edge form. Rows are packed with the owning cell's corner at
+  the origin and the fold re-offsets each run's spins by that corner
+  (SMEM corner rows, constant within a run), so the cancellation error of
+  the triple-product differences is bounded by ~eps_f32 * (cell width +
+  dilation) regardless of voxel extent, and no per-window table
+  adjustment is needed. Fold lanes outside a run's [start, end) range are
+  masked — their coordinates live in a different cell's frame.
 
-- **Feature-form Moller-Trumbore.** The table stores per-triangle vectors
-  [N = E1 x E2, A.N, E2, E2 x A, E1, A x E1] so that det, t, u, v are
-  pure dot products against per-spin features (d, r0, r0 x d): ~29
-  elementwise ops per spin-triangle pair vs ~58 for the corner/edge form.
-  Per-tile re-centering (subtracting a nearby origin from both spins and
-  the affine table rows) bounds the cancellation error of the triple
-  -product differences to ~eps_f32 * tile extent.
-
-- **Deferred argmin.** Per chunk the kernel only min-accumulates distances
-  and conditionally latches the winning normal into (TILE, chunk-width)
-  accumulators (4 extra ops/pair); the expensive lane reduction + tie-break
-  + normal pick runs once per bounce pass, not once per chunk.
+- **Per-block active gating.** After the first bounce pass of a step only
+  a small fraction of spins are still unresolved; each 128-lane block
+  re-folds its runs only while it still has active spins (the resolve
+  writes per-block active counts to SMEM, and an inactive block's run
+  range collapses to empty via a scalar select).
 
 Reference behavior matched: disimpy/simulations.py:878-1013
 (_cuda_step_mesh resolves all of a walker's bounces locally with no global
@@ -47,16 +63,19 @@ from jax.experimental.pallas import tpu as pltpu
 from . import krng
 from .fused import BITS, CH_MAX as _CH_MAX
 
-TILE = 256
-KCHUNK = 128
-CH_MAX = _CH_MAX  # max chunks per cell row (pack_fused enforces)
-ARENA_CH = 64  # resident arena capacity (chunks); windows split bigger demand
+TILE = 512  # spins per kernel instance (lanes)
+BLK = 128  # fold lane-block width (one vreg of spins)
+NBLK = TILE // BLK
+UNIT = 64  # triangles per table unit (8 sublane-groups of 8)
+CH_MAX = _CH_MAX  # max units per cell row (pack_fused enforces)
+ARENA_U = 64  # resident arena capacity (units); windows split bigger demand
 EDGE_TOL = np.float32(1e-5)  # barycentric leak-proofing tolerance (f32)
 SLACK = np.float32(1e-5)  # hit-acceptance slack in step lengths (f32)
 _INF = np.float32(np.inf)
-# DMA size classes (chunks): the smallest class >= the row's chunk count is
+# DMA size classes (units): the smallest class >= the row's unit count is
 # transferred in one DMA. Over-read beyond a row lands in the next cell's
-# row (real geometry) or the table's zero tail (rejected by det == 0).
+# row (real geometry) or the table's zero tail; it is never folded (folds
+# use the exact per-step unit count).
 _CLASSES = (1, 2, 4, 8, 16, 32)
 
 # Temporary ablation knob for performance debugging (0 = full kernel,
@@ -67,58 +86,53 @@ _CLASSES = (1, 2, 4, 8, 16, 32)
 # first-compiled variant for every later value.
 _DEBUG_ABLATE = 0
 
-# Fold granularity: the tile is split into QFOLD static sub-blocks of
-# TILE // QFOLD spins, and each sub-block folds only the runs whose lane
-# ranges overlap it (the fill walk records per-sub-block run index ranges;
-# runs are lane-ordered, so each sub-block's runs are contiguous in the
-# run table). A full-tile fold wastes (TILE - run_length) lanes per chunk
-# on geometry those spins can never be near; sub-block folds cut the
-# wasted width at the cost of ~0.25 us of Mosaic loop overhead per extra
-# (run x sub-block) iteration, so the optimum is a few sub-blocks, not
-# per-sublane granularity. Must divide TILE into multiples of 8 rows.
-_QFOLD = 4
 
-
-def _size_class(nch):
-    """Smallest DMA size class covering ``nch`` chunks (scalar int32)."""
+def _size_class(nun):
+    """Smallest DMA size class covering ``nun`` units (scalar int32)."""
     c = jnp.int32(_CLASSES[-1])
     for cl in reversed(_CLASSES[:-1]):
-        c = jnp.where(nch <= cl, jnp.int32(cl), c)
+        c = jnp.where(nun <= cl, jnp.int32(cl), c)
     return c
 
 
-def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
-            pi_ref, pf_ref, rows_ref, dirs_ref, idrow_ref, table_ref,
-            out_ref, arena, sem, st, act, ubuf, dacc, nax, nay, naz,
-            roffs, rpcks, rsrcs, rcnt, rq0s, rq1s, *, J, ablate=0,
-            qfold=1):
-    """One tile: J time steps, all bounces, windowed over the arena."""
+def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
+            pi_ref, pf_ref, pos_ref, dirs_ref, idrow_ref, table_ref,
+            out_ref, arena, sem, st, act, ubuf,
+            roffs, rpcks, rsrcs, rlane, rcnt, rq0s, rq1s, blkact, *,
+            J, ablate=0):
+    """One tile: J time steps, all bounces, windowed over the arena.
+
+    Table rows are stored in CELL-LOCAL coordinates (the pack subtracts
+    each cell's corner from the affine features): the fold re-offsets a
+    run's spins by that run's corner (cx/cy/cz rows, constant within a
+    run), which bounds the f32 cancellation error of the feature dot
+    products to ~eps_f32 * (cell width + dilation) — independent of the
+    tile or voxel extent — and needs no per-window table adjustment.
+    Because coordinate frames now differ per run, folds mask lanes
+    outside the run's [start, end) range instead of union-folding.
+    """
     seed = pi_ref[0, 0]
     max_iter = pi_ref[0, 1]
     t_base = pi_ref[0, 2]
     n_valid = pi_ref[0, 3]
     eps = pf_ref[0, 0]
     perm = pf_ref[0, 1]
-    # per-tile re-centering origin: the tile's first (sorted) spin
-    o0 = ox_ref[0, 0]
-    o1 = oy_ref[0, 0]
-    o2 = oz_ref[0, 0]
     tile_base = pl.program_id(0) * TILE
-    QB = TILE // qfold  # fold sub-block height (rows)
     mask6 = jnp.int32((1 << BITS) - 1)
     sh_last = jnp.int32((J - 1) * BITS)
     max_iter_f = max_iter.astype(jnp.float32)
-    lanes = lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
+    lanes = lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+    sub8 = lax.broadcasted_iota(jnp.int32, (8, BLK), 0)
 
     def run_end_at(i):
         return jnp.minimum(nexts_ref[0, i] - tile_base, TILE)
 
-    def class_op(src, off, nch, start_not_wait):
+    def class_op(src, off, nun, start_not_wait):
         """Start (or wait for) a row's static-size-class DMA."""
         for ci, cl in enumerate(_CLASSES):
             lo = 0 if ci == 0 else _CLASSES[ci - 1]
 
-            @pl.when((nch > lo) & (nch <= cl))
+            @pl.when((nun > lo) & (nun <= cl))
             def _():
                 cp = pltpu.make_async_copy(
                     table_ref.at[pl.ds(src, cl)],
@@ -133,10 +147,10 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
     def fill_walk(w_start):
         """Walk runs from lane ``w_start`` while their size classes fit the
         arena: start each non-empty run's DMA and record the window's run
-        table (arena offset, packed counts, table source) in SMEM — the
-        bounce passes then iterate the flat table instead of re-walking
-        the run structure (the walk's scalar class/end arithmetic was a
-        measured ~2 us per pass). Returns (w_end, occupancy in chunks)."""
+        table (arena offset, packed counts, table source) in SMEM plus the
+        per-lane-block run index ranges — the bounce passes then iterate
+        the flat table instead of re-walking the run structure. Returns
+        (w_end, occupancy in units)."""
 
         def cond(state):
             i, off, k, stop = state
@@ -145,10 +159,10 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
         def body(state):
             i, off, k, _ = state
             pck = packed_ref[0, i]
-            nch = lax.shift_right_logical(pck, sh_last) & mask6
-            cls = jnp.where(nch == 0, 0, _size_class(nch))
-            stop = off + cls > jnp.int32(ARENA_CH)
-            rec = (~stop) & (nch > 0)
+            nun = lax.shift_right_logical(pck, sh_last) & mask6
+            cls = jnp.where(nun == 0, 0, _size_class(nun))
+            stop = off + cls > jnp.int32(ARENA_U)
+            rec = (~stop) & (nun > 0)
             end = run_end_at(i)
 
             @pl.when(rec)
@@ -156,12 +170,13 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
                 roffs[0, k] = off
                 rpcks[0, k] = pck
                 rsrcs[0, k] = starts_ref[0, i]
-                class_op(starts_ref[0, i], off, nch, True)
-                # Runs are lane-ordered, so each fold sub-block's runs are
-                # a contiguous [rq0s, rq1s) range of the run table.
-                for q in range(qfold):
-                    ov = (i < jnp.int32((q + 1) * QB)) & (
-                        end > jnp.int32(q * QB)
+                rlane[0, k] = i
+                class_op(starts_ref[0, i], off, nun, True)
+                # Runs are lane-ordered, so each lane block's runs are a
+                # contiguous [rq0s, rq1s) range of the run table.
+                for q in range(NBLK):
+                    ov = (i < jnp.int32((q + 1) * BLK)) & (
+                        end > jnp.int32(q * BLK)
                     )
 
                     @pl.when(ov & (rq0s[0, q] > k))
@@ -180,7 +195,7 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
                 stop,
             )
 
-        for q in range(qfold):
+        for q in range(NBLK):
             rq0s[0, q] = jnp.int32(TILE)
             rq1s[0, q] = jnp.int32(0)
         i, off, k, _ = lax.while_loop(
@@ -191,233 +206,212 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
 
     def wait_runs():
         def w(kk, _):
-            nch = lax.shift_right_logical(rpcks[0, kk], sh_last) & mask6
-            class_op(rsrcs[0, kk], roffs[0, kk], nch, False)
+            nun = lax.shift_right_logical(rpcks[0, kk], sh_last) & mask6
+            class_op(rsrcs[0, kk], roffs[0, kk], nun, False)
             return 0
 
         lax.fori_loop(0, rcnt[0, 0], w, 0)
 
-    def _fold_half(tri, x, y, z, dx, dy, dz, cx, cy, cz, dcur, nx, ny, nz):
-        """Feature-form MT of the whole tile against one 128-tri chunk.
-
-        tri: (16, KCHUNK) feature rows [N(3), A.N, E2(3), E2xA(3), E1(3),
-        AxE1(3)]; per-spin columns are (TILE, 1). Returns updated
-        (d, nx, ny, nz) (TILE, KCHUNK) accumulators.
-        """
-        N0 = tri[0][None, :]
-        N1 = tri[1][None, :]
-        N2 = tri[2][None, :]
-        det = -(dx * N0 + dy * N1 + dz * N2)
-        tn = (x * N0 + y * N1 + z * N2) - tri[3][None, :]
-        un = (cx * tri[4][None, :] + cy * tri[5][None, :]
-              + cz * tri[6][None, :]) - (
-            dx * tri[7][None, :] + dy * tri[8][None, :]
-            + dz * tri[9][None, :]
-        )
-        vn = -(cx * tri[10][None, :] + cy * tri[11][None, :]
-               + cz * tri[12][None, :]) - (
-            dx * tri[13][None, :] + dy * tri[14][None, :]
-            + dz * tri[15][None, :]
-        )
-        inv = 1.0 / det
-        t = tn * inv
-        u = un * inv
-        v = vn * inv
-        lo, hi = -EDGE_TOL, 1.0 + EDGE_TOL
-        ok = (
-            (det != 0)
-            & (u >= lo)
-            & (u <= hi)
-            & (v >= lo)
-            & (u + v <= hi)
-            & (t > 0)
-        )
-        t = jnp.where(ok, t, _INF)
-        better = t < dcur
-        return (
-            jnp.where(better, t, dcur),
-            jnp.where(better, N0, nx),
-            jnp.where(better, N1, ny),
-            jnp.where(better, N2, nz),
-        )
+    def _fold_unit(u, inrun, xb, yb, zb, dxb, dyb, dzb, cxb, cyb, czb, acc):
+        """Fold one 64-triangle unit (8 sublane-groups) against a 128-lane
+        spin block. ``u`` is the (8, 128) unit; a row's trailing zero
+        padding is rejected by det == 0, and the unconditional 8-group
+        unroll keeps the instruction stream branch-free. ``inrun`` masks
+        the lanes outside the run's range (cell-local frames make other
+        runs' spins' coordinates meaningless here). Returns updated
+        (bd, n0, n1, n2) (8, BLK) accumulators."""
+        bd, n0, n1, n2 = acc
+        for g in range(8):
+            tri = [u[:, g * 16 + j: g * 16 + j + 1] for j in range(16)]
+            det = -(dxb * tri[0] + dyb * tri[1] + dzb * tri[2])
+            tn = (xb * tri[0] + yb * tri[1] + zb * tri[2]) - tri[3]
+            un = (cxb * tri[4] + cyb * tri[5] + czb * tri[6]) - (
+                dxb * tri[7] + dyb * tri[8] + dzb * tri[9]
+            )
+            vn = -(cxb * tri[10] + cyb * tri[11] + czb * tri[12]) - (
+                dxb * tri[13] + dyb * tri[14] + dzb * tri[15]
+            )
+            inv = 1.0 / det
+            t = tn * inv
+            uu = un * inv
+            vv = vn * inv
+            lo, hi = -EDGE_TOL, 1.0 + EDGE_TOL
+            ok = (
+                (det != 0)
+                & (uu >= lo)
+                & (uu <= hi)
+                & (vv >= lo)
+                & (uu + vv <= hi)
+                & (t > 0)
+            )
+            t = jnp.where(ok & inrun, t, _INF)
+            better = t < bd
+            bd = jnp.where(better, t, bd)
+            n0 = jnp.where(better, tri[0], n0)
+            n1 = jnp.where(better, tri[1], n1)
+            n2 = jnp.where(better, tri[2], n2)
+        return bd, n0, n1, n2
 
     def _pass(s, it, parts=3):
-        """One bounce pass: fold each run's step-s chunk prefix, resolve.
+        """One bounce pass: fold each lane block's runs' step-s unit
+        prefix, reduce per block, resolve the whole tile on rows.
 
         ``s`` is a static epoch-step index (selects the prefix bit field);
         runs come from the SMEM run table recorded by the fill walk.
         ``parts`` (static, debug): 1 = fold only, 2 = + reduce, 3 = full.
-        """
-        x = st[:, 0:1] - o0
-        y = st[:, 1:2] - o1
-        z = st[:, 2:3] - o2
-        dx = st[:, 3:4]
-        dy = st[:, 4:5]
-        dz = st[:, 5:6]
-        cx = y * dz - z * dy
-        cy = z * dx - x * dz
-        cz = x * dy - y * dx
 
-        # Only the distance accumulator needs resetting: a normal lane is
-        # read back only where its distance lane won this pass's min.
-        dacc[...] = jnp.full((TILE, KCHUNK), _INF, jnp.float32)
+        State rows are sliced from ONE full (8, TILE) register load of
+        ``st``: Mosaic assigns sub-sublane ref-slice loads (st[3:4]) a
+        replicated layout that its (1, N) -> (8, N) broadcast verifier
+        rejects; value slices of a full load carry concrete layouts.
+        """
+        stv = st[...]
+        x = stv[0:1]
+        y = stv[1:2]
+        z = stv[2:3]
+        dxr = stv[3:4]
+        dyr = stv[4:5]
+        dzr = stv[5:6]
 
         sh_s = jnp.int32(s * BITS)
+        liota = lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
+        d_blocks = []
+        n_blocks = []
+        for q in range(NBLK):
+            sl = slice(q * BLK, (q + 1) * BLK)
+            xb, yb, zb = x[:, sl], y[:, sl], z[:, sl]
+            dxb, dyb, dzb = dxr[:, sl], dyr[:, sl], dzr[:, sl]
+            qbase = jnp.int32(q * BLK)
 
-        # Each fold sub-block q streams only the runs overlapping its lane
-        # range [q*QB, (q+1)*QB): a full-tile fold would spend
-        # (TILE - run_length) wasted lanes per chunk on geometry those
-        # spins can never reach. Straddling runs fold in every sub-block
-        # they touch (their chunks stream once per overlapped block).
-        for q in range(qfold):
-            sl = slice(q * QB, (q + 1) * QB)
-            xq, yq, zq = x[sl], y[sl], z[sl]
-            dxq, dyq, dzq = dx[sl], dy[sl], dz[sl]
-            cxq, cyq, czq = cx[sl], cy[sl], cz[sl]
+            # Active gating: pass 0 always folds; later passes skip blocks
+            # whose spins all settled (the run range collapses to empty).
+            gate = (it == 0) | (blkact[0, q] > 0)
+            r_lo = jnp.where(gate, rq0s[0, q], jnp.int32(0))
+            r_hi = jnp.where(gate, rq1s[0, q], jnp.int32(0))
 
-            def per_run(kk, _, sl=sl, xq=xq, yq=yq, zq=zq, dxq=dxq,
-                        dyq=dyq, dzq=dzq, cxq=cxq, cyq=cyq, czq=czq):
+            def per_run(kk, acc, xb=xb, yb=yb, zb=zb, dxb=dxb, dyb=dyb,
+                        dzb=dzb, qbase=qbase):
                 off = roffs[0, kk]
                 cnt = lax.shift_right_logical(rpcks[0, kk], sh_s) & mask6
+                # Run frame: spins relative to the run's cell corner, and
+                # lanes outside [start, end) masked (their coordinates are
+                # in a different cell's frame — never valid geometry).
+                i0 = rlane[0, kk]
+                c0 = cx_ref[0, i0]
+                c1 = cy_ref[0, i0]
+                c2 = cz_ref[0, i0]
+                end = jnp.minimum(nexts_ref[0, i0] - tile_base, TILE)
+                inrun = (liota >= i0 - qbase) & (liota < end - qbase)
+                xq = xb - c0
+                yq = yb - c1
+                zq = zb - c2
+                cxq = yq * dzb - zq * dyb
+                cyq = zq * dxb - xq * dzb
+                czq = xq * dyb - yq * dxb
 
-                def fold(g, _):
-                    base = off + 2 * g
-                    # two 128-wide feature DAGs per iteration; only their
-                    # final latch ops serialize on the shared accumulators,
-                    # so the instruction streams still interleave. Folding
-                    # both chunks into ONE (QB, KCHUNK) accumulator keeps
-                    # the once-per-pass reduction half as wide.
-                    d0, n0x, n0y, n0z = _fold_half(
-                        arena[base], xq, yq, zq, dxq, dyq, dzq,
-                        cxq, cyq, czq,
-                        dacc[sl], nax[sl], nay[sl], naz[sl],
+                def fold(c, acc):
+                    return _fold_unit(
+                        arena[off + c], inrun, xq, yq, zq, dxb, dyb, dzb,
+                        cxq, cyq, czq, acc,
                     )
-                    d1, n1x, n1y, n1z = _fold_half(
-                        arena[base + 1], xq, yq, zq, dxq, dyq, dzq,
-                        cxq, cyq, czq, d0, n0x, n0y, n0z,
-                    )
-                    dacc[sl] = d1
-                    nax[sl] = n1x
-                    nay[sl] = n1y
-                    naz[sl] = n1z
-                    return 0
 
-                lax.fori_loop(0, (cnt + 1) // 2, fold, 0)
-                return 0
+                return lax.fori_loop(0, cnt, fold, acc)
 
-            lax.fori_loop(rq0s[0, q], rq1s[0, q], per_run, 0)
+            inf8 = jnp.full((8, BLK), _INF, jnp.float32)
+            zero8 = jnp.zeros((8, BLK), jnp.float32)
+            bd, n0, n1, n2 = lax.fori_loop(
+                r_lo, r_hi, per_run, (inf8, zero8, zero8, zero8)
+            )
+
+            # Sublane reduce: min distance, first-minimal-row tie-break,
+            # normal pick — all on (8, BLK) -> (1, BLK).
+            db = jnp.min(bd, axis=0, keepdims=True)
+            is_min = bd == db
+            row = jnp.min(
+                jnp.where(is_min, sub8, jnp.int32(8)), axis=0, keepdims=True
+            )
+            sel = is_min & (sub8 == row) & (db != _INF)
+            nxb = jnp.sum(jnp.where(sel, n0, 0.0), axis=0, keepdims=True)
+            nyb = jnp.sum(jnp.where(sel, n1, 0.0), axis=0, keepdims=True)
+            nzb = jnp.sum(jnp.where(sel, n2, 0.0), axis=0, keepdims=True)
+            d_blocks.append(db)
+            n_blocks.append((nxb, nyb, nzb))
         if parts == 1:
+            # debug: park the fold results so they are not dead code
+            st[7:8] = st[7:8] + 0.0 * jnp.concatenate(d_blocks, axis=1)
             return
 
-        # Final reduce + deterministic tie-break + normal pick (once per
-        # pass). Ties across fold groups were already broken
-        # earliest-group-first by the strict `better` comparison.
-        da = dacc[...]
-        d = jnp.min(da, axis=1, keepdims=True)
-        is_min = da == d
-        lane = lax.broadcasted_iota(jnp.int32, da.shape, 1)
-        min_lane = jnp.min(
-            jnp.where(is_min, lane, jnp.int32(da.shape[1])),
-            axis=1,
-            keepdims=True,
-        )
-        sel = is_min & (lane == min_lane) & (d != _INF)
-        nx = jnp.sum(jnp.where(sel, nax[...], 0.0), axis=1, keepdims=True)
-        ny = jnp.sum(jnp.where(sel, nay[...], 0.0), axis=1, keepdims=True)
-        nz = jnp.sum(jnp.where(sel, naz[...], 0.0), axis=1, keepdims=True)
+        d = jnp.concatenate(d_blocks, axis=1)
+        nx = jnp.concatenate([n[0] for n in n_blocks], axis=1)
+        ny = jnp.concatenate([n[1] for n in n_blocks], axis=1)
+        nz = jnp.concatenate([n[2] for n in n_blocks], axis=1)
         # stored N is unnormalized (E1 x E2); reflection needs unit length
         rn = lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
         nx, ny, nz = nx * rn, ny * rn, nz * rn
         if parts == 2:
-            # debug: park the reduce results so they are not dead code
-            st[:, 7:8] = st[:, 7:8] + 0.0 * (nx + ny + nz + d)
+            st[7:8] = st[7:8] + 0.0 * (nx + ny + nz + d)
             return
 
-        # Resolve (all lanes in one vector phase).
-        r0 = st[:, 0:3]
-        dirn = st[:, 3:6]
-        rem = st[:, 6:7]
-        iters = st[:, 7:8]
+        # Resolve: componentwise on (1, TILE) rows — no (1, N) -> (k, N)
+        # sublane broadcasts anywhere (see the layout note above).
+        rem = stv[6:7]
+        iters = stv[7:8]
         a = act[...] > 0
         hit = a & (d <= rem + SLACK)
         t_abs = t_base + jnp.int32(s)
 
         # Crossing uniforms are only needed for permeable membranes; the
-        # common impermeable case skips the 78-op threefry chain AND the
-        # (1, TILE) -> (TILE, 1) relayout every pass (ubuf stays at its
-        # 1.0 init, so `go` is all-False under the strict `<`).
+        # common impermeable case skips the threefry chain every pass
+        # (ubuf stays at its 1.0 init, so `go` is all-False under the
+        # strict `<`).
         @pl.when(perm > 0)
         def _():
-            # threefry on the (1, TILE) id row: the serial chain costs
-            # ~78 cycles on one vreg row vs ~TILE/8 x that on columns
-            u_row = krng.bounce_uniform(seed, t_abs, idrow_ref[...], it)
-            ubuf[...] = u_row.T
+            ubuf[...] = krng.bounce_uniform(seed, t_abs, idrow_ref[...], it)
 
         go = ubuf[...] < perm
-        nrm = jnp.concatenate((nx, ny, nz), axis=1)
-        v = d * dirn
-        inter = r0 + v
-        dp = jnp.sum(v * nrm, axis=1, keepdims=True)
-        n_refl = jnp.where(dp > 0, -nrm, nrm)
+        r0x, r0y, r0z = stv[0:1], stv[1:2], stv[2:3]
+        vx, vy, vz = d * dxr, d * dyr, d * dzr
+        dp = vx * nx + vy * ny + vz * nz
+        flip = jnp.where(dp > 0, -1.0, 1.0)
+        nrx, nry, nrz = nx * flip, ny * flip, nz * flip
         dp_o = -jnp.abs(dp)
-        new_dir = v - 2.0 * dp_o * n_refl
-        new_dir = new_dir * lax.rsqrt(
-            jnp.sum(new_dir * new_dir, axis=1, keepdims=True)
-        )
-        refl_r = inter + eps * n_refl
-        n_cross = jnp.where(dp < 0, -nrm, nrm)
-        cross_r = inter + eps * n_cross
+        ndx = vx - 2.0 * dp_o * nrx
+        ndy = vy - 2.0 * dp_o * nry
+        ndz = vz - 2.0 * dp_o * nrz
+        nd_rn = lax.rsqrt(ndx * ndx + ndy * ndy + ndz * ndz)
+        ndx, ndy, ndz = ndx * nd_rn, ndy * nd_rn, ndz * nd_rn
+        # crossing keeps the direction and offsets along -n_refl
+        ofs = jnp.where(go, -eps, eps)
         reflected = hit & ~go
-        crossed = hit & go
-        r_new = jnp.where(reflected, refl_r, jnp.where(crossed, cross_r, r0))
-        dir_new = jnp.where(reflected, new_dir, dirn)
+        r_nx = r0x + vx + ofs * nrx
+        r_ny = r0y + vy + ofs * nry
+        r_nz = r0z + vz + ofs * nrz
         rem_new = jnp.where(hit, rem - d, rem)
         still = hit & (rem_new > 0) & (iters < max_iter_f)
-        st[:, 0:3] = jnp.where(a, r_new, r0)
-        st[:, 3:6] = jnp.where(a, dir_new, dirn)
-        st[:, 6:7] = jnp.where(a, rem_new, rem)
-        st[:, 7:8] = jnp.where(still, iters + 1.0, iters)
-        act[...] = jnp.where(a, still.astype(jnp.float32), act[...])
+        upd = a & hit
+        st[0:1] = jnp.where(upd, r_nx, r0x)
+        st[1:2] = jnp.where(upd, r_ny, r0y)
+        st[2:3] = jnp.where(upd, r_nz, r0z)
+        st[3:4] = jnp.where(reflected, ndx, dxr)
+        st[4:5] = jnp.where(reflected, ndy, dyr)
+        st[5:6] = jnp.where(reflected, ndz, dzr)
+        st[6:7] = jnp.where(a, rem_new, rem)
+        st[7:8] = jnp.where(still, iters + 1.0, iters)
+        stf = still.astype(jnp.float32)
+        act[...] = jnp.where(a, stf, act[...])
+        for q in range(NBLK):
+            blkact[0, q] = jnp.sum(
+                stf[:, q * BLK: (q + 1) * BLK]
+            ).astype(jnp.int32)
 
     def window(w_start):
         # Fill the arena: issue all DMAs (recording the run table), then
-        # wait on each (the transfers overlap).
+        # wait on each (the transfers overlap). Table rows are already in
+        # cell-local coordinates — no per-window adjustment needed.
         w_end, occ = fill_walk(w_start)
         wait_runs()
-
-        # Zero the chunk after the occupancy: a run's last odd fold group
-        # reads one chunk past its prefix, which for the final run would
-        # otherwise be stale arena content (fake geometry).
-        @pl.when(occ < jnp.int32(ARENA_CH))
-        def _():
-            arena[pl.ds(occ, 1)] = jnp.zeros((1, 16, KCHUNK), jnp.float32)
-
-        # Re-center the affine table rows around the tile origin O:
-        # A.N -> (A - O).N, E2 x A -> E2 x (A - O), A x E1 -> (A - O) x E1.
-        def adjust(ch, _):
-            tri = arena[ch]
-            N = tri[0:3]
-            E2 = tri[4:7]
-            E1 = tri[10:13]
-            an = tri[3:4] - (o0 * N[0:1] + o1 * N[1:2] + o2 * N[2:3])
-            ea = tri[7:10] - jnp.concatenate(
-                (
-                    E2[1:2] * o2 - E2[2:3] * o1,
-                    E2[2:3] * o0 - E2[0:1] * o2,
-                    E2[0:1] * o1 - E2[1:2] * o0,
-                )
-            )
-            ae = tri[13:16] - jnp.concatenate(
-                (
-                    o1 * E1[2:3] - o2 * E1[1:2],
-                    o2 * E1[0:1] - o0 * E1[2:3],
-                    o0 * E1[1:2] - o1 * E1[0:1],
-                )
-            )
-            arena[ch] = jnp.concatenate((N, an, E2, ea, E1, ae))
-            return 0
-
-        lax.fori_loop(0, occ, adjust, 0)
+        if ablate in (11, 12):  # walk/DMA only, no step loop
+            return w_end
 
         wmask = (lanes >= w_start) & (lanes < w_end)
 
@@ -426,20 +420,19 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
 
             @pl.when(step_valid)
             def _():
-                if ablate == 1:
+                if ablate in (1, 13):
                     return
                 # begin step: fresh direction, full segment, 1 iter entry
-                st[:, 3:4] = jnp.where(
-                    wmask, dirs_ref[:, 3 * s + 0 : 3 * s + 1], st[:, 3:4]
-                )
-                st[:, 4:5] = jnp.where(
-                    wmask, dirs_ref[:, 3 * s + 1 : 3 * s + 2], st[:, 4:5]
-                )
-                st[:, 5:6] = jnp.where(
-                    wmask, dirs_ref[:, 3 * s + 2 : 3 * s + 3], st[:, 5:6]
-                )
-                st[:, 6:7] = jnp.where(wmask, 1.0, st[:, 6:7])
-                st[:, 7:8] = jnp.where(wmask, 1.0, st[:, 7:8])
+                # (componentwise rows: full loads + value slices, see the
+                # layout note in _pass)
+                stv = st[...]
+                dv = dirs_ref[...]
+                for r in range(3):
+                    st[3 + r: 4 + r] = jnp.where(
+                        wmask, dv[3 * s + r: 3 * s + r + 1], stv[3 + r: 4 + r]
+                    )
+                st[6:7] = jnp.where(wmask, 1.0, stv[6:7])
+                st[7:8] = jnp.where(wmask, 1.0, stv[7:8])
                 act[...] = jnp.where(wmask, 1.0, 0.0)
                 if ablate == 2:
                     return
@@ -450,62 +443,62 @@ def _kernel(starts_ref, packed_ref, nexts_ref, ox_ref, oy_ref, oz_ref,
                 _pass(s, jnp.int32(0))
                 if ablate == 3:
                     return
-                if ablate == 8:
-                    # scalar readback of the active count, consumed by a
-                    # never-true predicate (isolates the sync cost of the
-                    # while loop's data-dependent condition)
-                    n0 = jnp.sum(act[...]).astype(jnp.int32)
-
-                    @pl.when(n0 > jnp.int32(1 << 30))
-                    def _():
-                        act[...] = jnp.zeros((TILE, 1), jnp.float32)
-
-                    return
                 if ablate == 7:
                     # one forced extra pass, no data-dependent control
                     _pass(s, jnp.int32(1))
                     return
 
-                # The active count rides the while carry (a ref read inside
-                # `cond` observes stale state on some backends).
                 def cond(c):
                     return c[1] > 0
 
                 def body(c):
                     it, _ = c
                     _pass(s, it)
-                    return (it + 1, jnp.sum(act[...]).astype(jnp.int32))
+                    n = blkact[0, 0]
+                    for q in range(1, NBLK):
+                        n = n + blkact[0, q]
+                    return (it + 1, n)
 
                 n0 = jnp.sum(act[...]).astype(jnp.int32)
                 lax.while_loop(cond, body, (jnp.int32(1), n0))
 
                 # settled spins advance by their remaining segment
-                adv = st[:, 0:3] + st[:, 3:6] * st[:, 6:7]
-                st[:, 0:3] = jnp.where(wmask, adv, st[:, 0:3])
+                stv2 = st[...]
+                for r in range(3):
+                    adv = stv2[r: r + 1] + stv2[3 + r: 4 + r] * stv2[6:7]
+                    st[r: r + 1] = jnp.where(wmask, adv, stv2[r: r + 1])
 
             # Per-step output (positions + iteration-overflow flag); steps
             # beyond the simulated window repeat the current position.
+            if ablate == 13:  # 13 = level 1 minus the out writes
+                continue
+            stv3 = st[...]
+            ov = out_ref[...]
             exc_col = jnp.where(
-                step_valid & (st[:, 7:8] >= max_iter_f), 1.0, 0.0
+                step_valid & (stv3[7:8] >= max_iter_f), 1.0, 0.0
             )
-            cur = out_ref[:, 4 * s : 4 * s + 4]
-            val = jnp.concatenate((st[:, 0:3], exc_col), axis=1)
-            out_ref[:, 4 * s : 4 * s + 4] = jnp.where(wmask, val, cur)
+            for r in range(3):
+                out_ref[4 * s + r: 4 * s + r + 1, :] = jnp.where(
+                    wmask, stv3[r: r + 1], ov[4 * s + r: 4 * s + r + 1]
+                )
+            out_ref[4 * s + 3: 4 * s + 4, :] = jnp.where(
+                wmask, exc_col, ov[4 * s + 3: 4 * s + 4]
+            )
         return w_end
 
     # ----- main: init state, loop windows ----------------------------
-    st[:, 0:3] = rows_ref[:, 0:3]
-    st[:, 3:8] = jnp.zeros((TILE, 5), jnp.float32)
-    act[...] = jnp.zeros((TILE, 1), jnp.float32)
-    ubuf[...] = jnp.ones((TILE, 1), jnp.float32)
+    st[0:3] = pos_ref[...]
+    st[3:8] = jnp.zeros((5, TILE), jnp.float32)
+    act[...] = jnp.zeros((1, TILE), jnp.float32)
+    ubuf[...] = jnp.ones((1, TILE), jnp.float32)
 
     lax.while_loop(lambda w: w < TILE, window, jnp.int32(0))
 
 
 @partial(jax.jit, static_argnames=("n_steps", "interpret"))
-def _launch(starts, packed, nexts, origin, params_i, params_f, rows, dirs,
+def _launch(starts, packed, nexts, corner, params_i, params_f, pos, dirs,
             ids, table, n_steps, interpret=False):
-    n_pad = rows.shape[0]
+    n_pad = pos.shape[1]
     n_tiles = n_pad // TILE
     J = n_steps
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -520,70 +513,65 @@ def _launch(starts, packed, nexts, origin, params_i, params_f, rows, dirs,
             pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 4), lambda t: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 4), lambda t: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILE, 8), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 16), lambda t: (t, 0),
+            pl.BlockSpec((3, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, TILE), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (TILE, 4 * J), lambda t: (t, 0), memory_space=pltpu.VMEM
+            (4 * J, TILE), lambda t: (0, t), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((ARENA_CH, 16, KCHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((ARENA_CH,)),
-            pltpu.VMEM((TILE, 8), jnp.float32),
-            pltpu.VMEM((TILE, 1), jnp.float32),
-            pltpu.VMEM((TILE, 1), jnp.float32),
-            pltpu.VMEM((TILE, KCHUNK), jnp.float32),
-            pltpu.VMEM((TILE, KCHUNK), jnp.float32),
-            pltpu.VMEM((TILE, KCHUNK), jnp.float32),
-            pltpu.VMEM((TILE, KCHUNK), jnp.float32),
+            pltpu.VMEM((ARENA_U, 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((ARENA_U,)),
+            pltpu.VMEM((8, TILE), jnp.float32),
+            pltpu.VMEM((1, TILE), jnp.float32),
+            pltpu.VMEM((1, TILE), jnp.float32),
+            pltpu.SMEM((1, TILE), jnp.int32),
             pltpu.SMEM((1, TILE), jnp.int32),
             pltpu.SMEM((1, TILE), jnp.int32),
             pltpu.SMEM((1, TILE), jnp.int32),
             pltpu.SMEM((1, 1), jnp.int32),
-            pltpu.SMEM((1, max(_QFOLD, 1)), jnp.int32),
-            pltpu.SMEM((1, max(_QFOLD, 1)), jnp.int32),
+            pltpu.SMEM((1, NBLK), jnp.int32),
+            pltpu.SMEM((1, NBLK), jnp.int32),
+            pltpu.SMEM((1, NBLK), jnp.int32),
         ],
     )
     return pl.pallas_call(
-        partial(_kernel, J=J, ablate=_DEBUG_ABLATE, qfold=_QFOLD),
+        partial(_kernel, J=J, ablate=_DEBUG_ABLATE),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, 4 * J), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4 * J, n_pad), jnp.float32),
         interpret=interpret,
-    )(starts[None, :], packed[None, :], nexts[None, :], origin[0][None, :],
-      origin[1][None, :], origin[2][None, :], params_i, params_f, rows,
+    )(starts[None, :], packed[None, :], nexts[None, :], corner[0][None, :],
+      corner[1][None, :], corner[2][None, :], params_i, params_f, pos,
       dirs, ids[None, :], table)
 
+
 def fused_epoch(spec, pos_s, dirs, ids_s, start_s, packed_s, next_end,
-                t_base, n_valid_steps, seed32, epsilon, max_iter,
+                corner_s, t_base, n_valid_steps, seed32, epsilon, max_iter,
                 interpret=False):
     """Run one epoch (J steps) of mesh physics on epoch-sorted state.
 
     pos_s: (3, n) float32 positions wrapped into the home periodic image;
     dirs: (J, 3, n) per-step unit directions; ids_s/start_s/packed_s/
-    next_end: (n,) int32 in the same order. ``t_base`` is the epoch's first
-    absolute step index, ``n_valid_steps`` how many of the J steps are
-    inside the simulated window (trailing steps are no-ops).
+    next_end: (n,) int32 in the same order; corner_s: (3, n) float32 anchor
+    cell corners (the coordinate frame the table rows are stored in).
+    ``t_base`` is the epoch's first absolute step index, ``n_valid_steps``
+    how many of the J steps are inside the simulated window (trailing
+    steps are no-ops).
 
     Returns (per-step positions (J, 3, n), iter_exc (n,) bool).
     """
     J = dirs.shape[0]
     n = pos_s.shape[1]
-    idf = lax.bitcast_convert_type(ids_s, jnp.float32)
-    zeros = jnp.zeros_like(idf)
-    rows = jnp.stack(
-        (pos_s[0], pos_s[1], pos_s[2], idf, zeros, zeros, zeros, zeros),
-        axis=1,
-    )
     dirs_in = jnp.concatenate(
         (
-            dirs.transpose(2, 0, 1).reshape(n, 3 * J),
-            jnp.zeros((n, 16 - 3 * J), jnp.float32),
+            dirs.reshape(3 * J, n),
+            jnp.zeros((16 - 3 * J, n), jnp.float32),
         ),
-        axis=1,
+        axis=0,
     )
     params_i = jnp.stack(
         (
@@ -602,10 +590,10 @@ def fused_epoch(spec, pos_s, dirs, ids_s, start_s, packed_s, next_end,
         )
     )[None, :]
     out = _launch(
-        start_s, packed_s, next_end, pos_s, params_i, params_f, rows,
+        start_s, packed_s, next_end, corner_s, params_i, params_f, pos_s,
         dirs_in, ids_s, spec.table, n_steps=J, interpret=interpret,
     )
-    steps = out.reshape(n, J, 4)
-    pos_steps = steps[:, :, 0:3].transpose(1, 2, 0)  # (J, 3, n)
-    exc = jnp.any(steps[:, :, 3] > 0.5, axis=1)
+    steps = out.reshape(J, 4, n)
+    pos_steps = steps[:, 0:3, :]  # (J, 3, n)
+    exc = jnp.any(steps[:, 3, :] > 0.5, axis=0)
     return pos_steps, exc

@@ -147,12 +147,16 @@ def test_pack_fused_coverage(packed_sphere):
         lo = cxyz * sv_width
         hi = lo + sv_width
         for s in (0, J - 1):
-            n_chunks = (packed[cell] >> (fused.BITS * s)) & (
+            n_units = (packed[cell] >> (fused.BITS * s)) & (
                 (1 << fused.BITS) - 1
             )
-            rows = table[start[cell]:start[cell] + n_chunks]
-            # stored records are 16-float feature vectors per triangle
-            stored = rows.transpose(0, 2, 1).reshape(-1, 16)
+            rows = table[start[cell]:start[cell] + n_units]
+            # stored records are 16-float feature vectors per triangle:
+            # unit layout (u, sublane r, lane 16g + j) -> triangle 8g + r
+            stored = (
+                rows.reshape(-1, 8, 8, 16).transpose(0, 2, 1, 3)
+                .reshape(-1, 16)
+            )
             stored = stored[np.abs(stored).sum(axis=1) > 0]
             # brute force: every (triangle, periodic image) whose true
             # Euclidean distance to the cell box is below dil[s] (slightly
@@ -175,7 +179,9 @@ def test_pack_fused_coverage(packed_sphere):
                             continue
                         dist = _triangle_box_distance(t_img[cand], lo, hi)
                         for ti in cand[dist <= margin]:
-                            A, B, C = t_img[ti]
+                            # table rows are stored in the owning cell's
+                            # local frame (corner at the origin)
+                            A, B, C = t_img[ti] - lo
                             E1, E2 = B - A, C - A
                             N = np.cross(E1, E2)
                             feat = np.concatenate(
