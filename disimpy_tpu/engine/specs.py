@@ -32,15 +32,21 @@ class FreeSpec:
     """Free diffusion: no geometry."""
 
 
-@partial(_register, data_fields=["radius"], meta_fields=[])
+@partial(_register, data_fields=["radius", "perm_prob"], meta_fields=[])
 @dataclasses.dataclass(frozen=True)
 class SphereSpec:
-    """Sphere of ``radius`` (step-length units), centred at the origin."""
+    """Sphere of ``radius`` (step-length units), centred at the origin.
+
+    ``perm_prob`` is the probability of crossing the surface per collision
+    (TPU-native extension; the reference supports permeability only for
+    mesh substrates, disimpy/substrates.py:151).
+    """
 
     radius: jnp.ndarray
+    perm_prob: jnp.ndarray
 
 
-@partial(_register, data_fields=["radius"], meta_fields=[])
+@partial(_register, data_fields=["radius", "perm_prob"], meta_fields=[])
 @dataclasses.dataclass(frozen=True)
 class CylinderSpec:
     """Infinite cylinder along +x of ``radius`` (step-length units).
@@ -53,14 +59,16 @@ class CylinderSpec:
     """
 
     radius: jnp.ndarray
+    perm_prob: jnp.ndarray
 
 
-@partial(_register, data_fields=["semiaxes"], meta_fields=[])
+@partial(_register, data_fields=["semiaxes", "perm_prob"], meta_fields=[])
 @dataclasses.dataclass(frozen=True)
 class EllipsoidSpec:
     """Axis-aligned ellipsoid with ``semiaxes`` (3,), in the ellipsoid frame."""
 
     semiaxes: jnp.ndarray
+    perm_prob: jnp.ndarray
 
 
 @partial(

@@ -81,12 +81,55 @@ def _hit_slack(dtype):
     return 1e-5 if jnp.dtype(dtype) == jnp.float32 else 1e-12
 
 
-def _bounce_analytic(positions, key, epsilon, max_iter, distance_and_normal):
+def _smallest_positive_root(A, B, C, perm_prob, dtype):
+    """Forward collision root of ``A d^2 + B d + C = 0`` (+inf when none).
+
+    Impermeable compartment (``perm_prob == 0``): always the *far* root —
+    exactly the pre-permeability behavior. This is deliberate, not just
+    conservative: float32 tangential grazes routinely strand a walker up
+    to ~1e-2 step lengths *outside* the wall (the confinement tests pin
+    that bound), and the far root makes such a walker traverse to the far
+    wall and reflect back *inside* (recapture), whereas a near-root
+    exterior bounce would exile it permanently.
+
+    Permeable compartment: outside walkers are legitimate, so both roots
+    compete and the nearest forward one wins (an outside walker moving
+    away has none and diffuses freely; ``A <= 0`` — direction parallel to
+    a cylinder axis — means no intersection). The near root must clear
+    the dtype's hit slack so a walker sitting on the surface within
+    rounding (spurious near root of rounding magnitude) falls through to
+    the far root; artifact-outside grazers here are recaptured within a
+    few crossing trials instead, which permeable statistics can't see.
+    """
+    disc = B * B - 4.0 * A * C
+    ok = (disc >= 0) & (A > 0)
+    sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+    inv = 0.5 / jnp.where(ok, A, 1.0)
+    r1 = (-B - sq) * inv  # r1 <= r2 since A > 0
+    r2 = (-B + sq) * inv
+    inf = jnp.asarray(jnp.inf, dtype)
+    far = jnp.where(r2 > 0, r2, inf)
+    near_first = jnp.where(r1 > _hit_slack(dtype), r1, far)
+    d = jnp.where(perm_prob > 0, near_first, far)
+    return jnp.where(ok, d, inf)
+
+
+def _bounce_analytic(positions, key, perm_prob, epsilon, max_iter,
+                     distance_and_normal):
     """Shared masked bounce loop for the analytic substrates.
 
     ``distance_and_normal(r0, direction) -> (d, normal)`` returns the (n,)
-    distance to the surface along the direction and the (3, n) inward
-    surface normal at the hit point.
+    distance to the surface along the direction (+inf when the ray misses)
+    and a (3, n) surface normal at the hit point (either orientation; the
+    reflect/cross helpers orient it against / along the motion).
+
+    ``perm_prob`` extends the reference semantics of mesh membranes
+    (disimpy/simulations.py:984-998) to the analytic compartments: on each
+    collision the walker crosses the surface with probability
+    ``perm_prob`` (keeping its direction, offset ``epsilon`` past the
+    wall) and reflects otherwise. The crossing decision uses the strict
+    ``u < perm_prob`` so 0 is exactly impermeable (see
+    :func:`_resolve_mesh_hits`).
     """
     n = positions.shape[1]
     dtype = positions.dtype
@@ -95,40 +138,60 @@ def _bounce_analytic(positions, key, epsilon, max_iter, distance_and_normal):
     rem = jnp.ones(n, dtype=dtype)
     iters = jnp.zeros(n, dtype=jnp.int32)
     active = jnp.ones(n, dtype=bool)
+    crossings = jnp.zeros(n, dtype=jnp.int32)
 
     def cond(state):
         return jnp.any(state[4])
 
     def body(state):
-        r0, direction, rem, iters, active = state
+        r0, direction, rem, iters, active, crossings, bounce_idx = state
         iters = iters + active
         d, normal = distance_and_normal(r0, direction)
         hit = active & (d > 0) & (d < rem + slack)
-        new_r0, new_dir = geometry.reflect_rows(r0, direction, d, normal, epsilon)
-        hit3 = hit[None, :]
-        r0 = jnp.where(hit3, new_r0, r0)
-        direction = jnp.where(hit3, new_dir, direction)
+        u = rng.uniforms(rng.bounce_key(key, bounce_idx), n, dtype)
+        go_through = u < perm_prob
+        refl_r0, refl_dir = geometry.reflect_rows(
+            r0, direction, d, normal, epsilon
+        )
+        cross_r0 = geometry.crossing_rows(r0, direction, d, normal, epsilon)
+        reflected = hit & ~go_through
+        crossed = hit & go_through
+        r0 = jnp.where(
+            reflected[None, :],
+            refl_r0,
+            jnp.where(crossed[None, :], cross_r0, r0),
+        )
+        direction = jnp.where(reflected[None, :], refl_dir, direction)
         rem = jnp.where(hit, rem - (d + epsilon), rem)
+        crossings = crossings + crossed.astype(jnp.int32)
         active = hit & (rem > 0) & (iters < max_iter)
-        return (r0, direction, rem, iters, active)
+        return (r0, direction, rem, iters, active, crossings, bounce_idx + 1)
 
-    state = (positions, direction, rem, iters, active)
-    r0, direction, rem, iters, _ = lax.while_loop(cond, body, state)
+    state = (positions, direction, rem, iters, active, crossings,
+             jnp.asarray(0, jnp.int32))
+    r0, direction, rem, iters, _, crossings, _ = lax.while_loop(
+        cond, body, state
+    )
     exc = iters >= max_iter
-    crossings = jnp.zeros(r0.shape[1], dtype=jnp.int32)
     return r0 + direction * rem[None, :], exc, crossings
 
 
 def step_sphere(positions, key, spec: SphereSpec, epsilon, max_iter):
-    """Diffusion inside a sphere (reference :705-756)."""
+    """Diffusion inside (or, with permeability, around) a sphere
+    (reference :705-756)."""
 
     def distance_and_normal(r0, direction):
-        dp = geometry.dot_rows(direction, r0)
-        d = -dp + jnp.sqrt(dp * dp - (geometry.dot_rows(r0, r0) - spec.radius**2))
+        B = 2.0 * geometry.dot_rows(direction, r0)
+        C = geometry.dot_rows(r0, r0) - spec.radius**2
+        d = _smallest_positive_root(
+            jnp.ones_like(B), B, C, spec.perm_prob, positions.dtype
+        )
         normal = geometry.normalize_rows(-(r0 + d[None, :] * direction))
         return d, normal
 
-    return _bounce_analytic(positions, key, epsilon, max_iter, distance_and_normal)
+    return _bounce_analytic(
+        positions, key, spec.perm_prob, epsilon, max_iter, distance_and_normal
+    )
 
 
 def step_cylinder(positions, key, spec: CylinderSpec, epsilon, max_iter):
@@ -143,12 +206,14 @@ def step_cylinder(positions, key, spec: CylinderSpec, epsilon, max_iter):
         A = jnp.sum(dyz * dyz, axis=0)
         B = 2.0 * jnp.sum(ryz * dyz, axis=0)
         C = jnp.sum(ryz * ryz, axis=0) - spec.radius**2
-        d = (-B + jnp.sqrt(B * B - 4.0 * A * C)) / (2.0 * A)
+        d = _smallest_positive_root(A, B, C, spec.perm_prob, positions.dtype)
         hit_yz = -(ryz + d[None, :] * dyz)
         normal = jnp.concatenate((jnp.zeros((1, d.shape[0]), r0.dtype), hit_yz))
         return d, geometry.normalize_rows(normal)
 
-    return _bounce_analytic(positions, key, epsilon, max_iter, distance_and_normal)
+    return _bounce_analytic(
+        positions, key, spec.perm_prob, epsilon, max_iter, distance_and_normal
+    )
 
 
 def step_ellipsoid(positions, key, spec: EllipsoidSpec, epsilon, max_iter):
@@ -162,11 +227,13 @@ def step_ellipsoid(positions, key, spec: EllipsoidSpec, epsilon, max_iter):
         A = jnp.sum(direction * direction * inv2, axis=0)
         B = 2.0 * jnp.sum(direction * r0 * inv2, axis=0)
         C = jnp.sum(r0 * r0 * inv2, axis=0) - 1.0
-        d = (-B + jnp.sqrt(B * B - 4.0 * A * C)) / (2.0 * A)
+        d = _smallest_positive_root(A, B, C, spec.perm_prob, positions.dtype)
         normal = -(r0 + d[None, :] * direction) * inv2
         return d, geometry.normalize_rows(normal)
 
-    return _bounce_analytic(positions, key, epsilon, max_iter, distance_and_normal)
+    return _bounce_analytic(
+        positions, key, spec.perm_prob, epsilon, max_iter, distance_and_normal
+    )
 
 
 def _resolve_mesh_hits(spec, r0, direction, rem, d, normal, hit, u, epsilon):

@@ -333,7 +333,10 @@ def _prepare_substrate(substrate, n_walkers, seed, scale, dtype, quiet,
         r = substrate.radius
         positions = _fill_sphere(n_walkers, r) * scale
         return (
-            SphereSpec(radius=jnp.asarray(r * scale, dtype=dtype)),
+            SphereSpec(
+                radius=jnp.asarray(r * scale, dtype=dtype),
+                perm_prob=jnp.asarray(substrate.perm_prob, dtype=dtype),
+            ),
             positions, None, r * scale, "classic",
         )
 
@@ -349,14 +352,20 @@ def _prepare_substrate(substrate, n_walkers, seed, scale, dtype, quiet,
         frame_to_lab = np.linalg.inv(R)
         positions = np.zeros((n_walkers, 3))
         positions[:, 1:3] = _fill_circle(n_walkers, r)
-        spec = CylinderSpec(radius=jnp.asarray(r * scale, dtype=dtype))
+        spec = CylinderSpec(
+            radius=jnp.asarray(r * scale, dtype=dtype),
+            perm_prob=jnp.asarray(substrate.perm_prob, dtype=dtype),
+        )
         return spec, positions * scale, frame_to_lab, r * scale, "classic"
 
     if substrate.type == "ellipsoid":
         semiaxes = np.asarray(substrate.semiaxes, dtype=float)
         frame_to_lab = np.asarray(substrate.R, dtype=float)
         positions = _fill_ellipsoid(n_walkers, semiaxes) * scale
-        spec = EllipsoidSpec(semiaxes=jnp.asarray(semiaxes * scale, dtype=dtype))
+        spec = EllipsoidSpec(
+            semiaxes=jnp.asarray(semiaxes * scale, dtype=dtype),
+            perm_prob=jnp.asarray(substrate.perm_prob, dtype=dtype),
+        )
         return (
             spec, positions, frame_to_lab, float(np.max(semiaxes)) * scale,
             "classic",
@@ -517,7 +526,8 @@ def simulation(
         T2 relaxation weighting (TPU-native extension; the reference has
         none). A single float T2 (s) weights every spin's signal by
         ``exp(-n_t * dt / T2)``. A pair applies per-compartment weighting
-        for mesh substrates: each spin accrues ``exp(-dt / T2(c_t))`` per
+        for substrates with a surface (mesh or a permeable analytic
+        compartment): each spin accrues ``exp(-dt / T2(c_t))`` per
         step, where its compartment ``c_t`` (intra/extra the closed
         surface) is tracked through membrane transits.
     exchange_stats : bool, optional
@@ -572,9 +582,11 @@ def simulation(
                 raise ValueError(
                     "Incorrect value (%s) for relaxation" % (relaxation,)
                 )
-            if substrate.type != "mesh":
+            if substrate.type not in ("mesh", "sphere", "cylinder",
+                                      "ellipsoid"):
                 raise ValueError(
-                    "Two-compartment relaxation requires a mesh substrate"
+                    "Two-compartment relaxation requires a substrate with "
+                    "a surface (mesh, sphere, cylinder, or ellipsoid)"
                 )
             relax_pair = (t2_intra, t2_extra)
         elif isinstance(relaxation, (int, float)) and not isinstance(

@@ -26,9 +26,9 @@ class _Substrate:
     Attributes depend on ``type``:
 
     - ``"free"``: no attributes.
-    - ``"sphere"``: ``radius``.
-    - ``"cylinder"``: ``radius``, ``orientation``.
-    - ``"ellipsoid"``: ``semiaxes``, ``R``.
+    - ``"sphere"``: ``radius``, ``perm_prob``.
+    - ``"cylinder"``: ``radius``, ``orientation``, ``perm_prob``.
+    - ``"ellipsoid"``: ``semiaxes``, ``R``, ``perm_prob``.
     - ``"mesh"``: ``vertices``, ``faces``, ``voxel_size``, ``periodic``,
       ``init_pos``, ``n_sv``, ``perm_prob``, plus the acceleration grid
       ``xs``, ``ys``, ``zs``, ``triangle_indices``, ``subvoxel_indices``.
@@ -38,12 +38,15 @@ class _Substrate:
         self.type = substrate_type
         if self.type == "sphere":
             self.radius = kwargs["radius"]
+            self.perm_prob = kwargs.get("perm_prob", 0.0)
         elif self.type == "cylinder":
             self.radius = kwargs["radius"]
             self.orientation = kwargs["orientation"]
+            self.perm_prob = kwargs.get("perm_prob", 0.0)
         elif self.type == "ellipsoid":
             self.semiaxes = kwargs["semiaxes"]
             self.R = kwargs["R"]
+            self.perm_prob = kwargs.get("perm_prob", 0.0)
         elif self.type == "mesh":
             self.vertices = kwargs["vertices"]
             self.faces = kwargs["faces"]
@@ -80,13 +83,28 @@ def free():
     return _Substrate("free")
 
 
-def sphere(radius):
+def _check_perm_prob(perm_prob):
+    """Validate a permeability probability (same matrix as :func:`mesh`)."""
+    if (
+        (perm_prob != 0 and not isinstance(perm_prob, float))
+        or perm_prob < 0
+        or perm_prob > 1
+    ):
+        raise ValueError(f"Incorrect value ({perm_prob}) for perm_prob.")
+
+
+def sphere(radius, perm_prob=0):
     """Return a substrate object for simulating diffusion inside a sphere.
 
     Parameters
     ----------
     radius : float
         Radius of the sphere (m).
+    perm_prob : float, optional
+        Probability of a walker passing through the surface on collision
+        (TPU-native extension; the reference supports permeability only
+        for mesh substrates, disimpy/substrates.py:151-246). Walkers that
+        cross diffuse freely outside and can re-enter.
 
     Returns
     -------
@@ -94,10 +112,11 @@ def sphere(radius):
     """
     if not isinstance(radius, float) or radius <= 0:
         raise ValueError(f"Incorrect value ({radius}) for radius")
-    return _Substrate("sphere", radius=radius)
+    _check_perm_prob(perm_prob)
+    return _Substrate("sphere", radius=radius, perm_prob=float(perm_prob))
 
 
-def cylinder(radius, orientation):
+def cylinder(radius, orientation, perm_prob=0):
     """Return a substrate object for diffusion inside an infinite cylinder.
 
     Parameters
@@ -107,6 +126,9 @@ def cylinder(radius, orientation):
     orientation : numpy.ndarray
         Floating-point array of shape (3,) giving the cylinder axis
         direction (normalized internally).
+    perm_prob : float, optional
+        Probability of a walker passing through the surface on collision
+        (TPU-native extension; see :func:`sphere`).
 
     Returns
     -------
@@ -120,11 +142,15 @@ def cylinder(radius, orientation):
         or not np.issubdtype(orientation.dtype, np.floating)
     ):
         raise ValueError(f"Incorrect value ({orientation}) for orientation")
+    _check_perm_prob(perm_prob)
     orientation = orientation / np.linalg.norm(orientation)
-    return _Substrate("cylinder", radius=radius, orientation=orientation)
+    return _Substrate(
+        "cylinder", radius=radius, orientation=orientation,
+        perm_prob=float(perm_prob),
+    )
 
 
-def ellipsoid(semiaxes, R=np.eye(3)):
+def ellipsoid(semiaxes, R=np.eye(3), perm_prob=0):
     """Return a substrate object for diffusion inside an ellipsoid.
 
     Parameters
@@ -135,6 +161,9 @@ def ellipsoid(semiaxes, R=np.eye(3)):
     R : numpy.ndarray, optional
         3x3 rotation matrix applied to the axis-aligned ellipsoid
         (ellipsoid frame -> lab frame).
+    perm_prob : float, optional
+        Probability of a walker passing through the surface on collision
+        (TPU-native extension; see :func:`sphere`).
 
     Returns
     -------
@@ -156,7 +185,10 @@ def ellipsoid(semiaxes, R=np.eye(3)):
         np.isclose(R.T, np.linalg.inv(R))
     ):
         raise ValueError(f"R ({R}) is not a valid rotation matrix")
-    return _Substrate("ellipsoid", semiaxes=semiaxes, R=R)
+    _check_perm_prob(perm_prob)
+    return _Substrate(
+        "ellipsoid", semiaxes=semiaxes, R=R, perm_prob=float(perm_prob)
+    )
 
 
 def mesh(

@@ -87,7 +87,10 @@ def sweep_cylinder_radii(
     for i, r in enumerate(radii):
         np.random.seed(seed)
         positions[i, 1:3] = _fill_circle(n_walkers, r).T * scale
-    specs = CylinderSpec(radius=jnp.asarray(radii * scale, dtype=dtype))
+    specs = CylinderSpec(
+        radius=jnp.asarray(radii * scale, dtype=dtype),
+        perm_prob=jnp.zeros(len(radii), dtype=dtype),
+    )
     return _finish(
         "cylinder", specs, positions, radii * scale, g_eff, n_meas, n_t,
         scale, seed, max_iter, epsilon, dtype, bounded=False,
@@ -118,7 +121,10 @@ def sweep_sphere_radii(
     for i, r in enumerate(radii):
         np.random.seed(seed)
         positions[i] = _fill_sphere(n_walkers, r).T * scale
-    specs = SphereSpec(radius=jnp.asarray(radii * scale, dtype=dtype))
+    specs = SphereSpec(
+        radius=jnp.asarray(radii * scale, dtype=dtype),
+        perm_prob=jnp.zeros(len(radii), dtype=dtype),
+    )
     return _finish(
         "sphere", specs, positions, radii * scale, g_eff, n_meas, n_t,
         scale, seed, max_iter, epsilon, dtype, bounded=True,
