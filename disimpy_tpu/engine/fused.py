@@ -589,9 +589,10 @@ def _run_ends(keys):
     return jnp.flip(lax.cummin(jnp.flip(boundary.astype(jnp.int32)))) + 1
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "track"))
 def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
-                     epsilon, max_iter, interpret=False, id_base=0):
+                     epsilon, max_iter, interpret=False, id_base=0,
+                     track=False, compartments=None):
     """Advance the ensemble through the window ``ts`` with the fused engine.
 
     Arguments mirror engine.core.run_window (positions (3, n) true
@@ -601,6 +602,14 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
     RNG is keyed by (seed32 ^ salt, t, spin id) — no jax PRNG key
     threading. ``id_base`` offsets the spin ids (a sharded run passes each
     shard's global offset so every walker keeps its global RNG stream).
+
+    With ``track=True``, ``compartments`` must be the driver's
+    ``(crossings, parity, intra_steps)`` tuple (engine/core.run_window
+    docstring); the kernel reports per-step membrane-transit counts and
+    the epoch body folds them into the trackers (parity rides the packed
+    ``2*crossings + parity`` sort operand; intra dwell follows the
+    classic rule — a spin dwells the step in the compartment it ends it
+    in). The window then returns an extra compartments element.
 
     Phase accumulators stay in ORIGINAL spin order for the whole window:
     each epoch's kernel returns per-step positions in epoch order, one
@@ -624,6 +633,8 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
     # spin 0 (valid physics, ids beyond n_true) and are sliced off after
     # the final unsort (they sort last).
     n = -(-n_true // TILE) * TILE
+    if track:
+        crossings, parity, intra = compartments
     if n != n_true:
         reps = n - n_true
         positions = jnp.concatenate(
@@ -633,9 +644,21 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
             (phases, jnp.zeros((m, reps), phases.dtype)), axis=1
         )
         iter_exc = jnp.concatenate((iter_exc, jnp.zeros(reps, bool)))
+        if track:
+            zpad = jnp.zeros(reps, jnp.int32)
+            crossings = jnp.concatenate((crossings, zpad))
+            parity = jnp.concatenate((parity, jnp.zeros(reps, bool)))
+            intra = jnp.concatenate((intra, zpad))
 
     ids = jnp.asarray(id_base, jnp.int32) + jnp.arange(n, dtype=jnp.int32)
     idexc = (ids << 1) | iter_exc.astype(jnp.int32)
+    # Transit trackers ride the epoch sorts next to idexc; the current
+    # compartment is the low bit of the packed crossings operand. The
+    # untracked path carries no extra sort operands at all.
+    if track:
+        cr2 = (crossings << 1) | parity.astype(jnp.int32)
+    else:
+        cr2 = intra = jnp.zeros((0,), jnp.int32)
 
     # Pad the window's phase coefficients to n_epochs * J steps (zero
     # rows accumulate zero delta for the trailing partial epoch).
@@ -645,7 +668,7 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
     seed_k = jnp.asarray(seed32, jnp.int32) ^ jnp.int32(spec.seed_salt)
 
     def epoch(carry, xs):
-        positions, phases, idexc = carry
+        positions, phases, idexc, cr2, intra = carry
         e_idx, g_e = xs
         t_base = t0_val + e_idx * J
 
@@ -663,13 +686,16 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
                 shiftvox[1],
                 shiftvox[2],
                 idexc,
-            ),
+            )
+            + ((cr2, intra) if track else ()),
             num_keys=1,
         )
         cell_s, start_s, packed_s = ops[0], ops[1], ops[2]
         pos_s = jnp.stack(ops[3:6])
         shiftvox_s = jnp.stack(ops[6:9])
         idexc_s = ops[9]
+        if track:
+            cr2, intra = ops[10], ops[11]
         next_end = _run_ends(cell_s)
         ids_s = idexc_s >> 1
         # Anchor-cell corners (the table rows' coordinate frame), from the
@@ -692,13 +718,30 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
 
         # One kernel launch resolves all J steps' bounces (pallas_fused).
         n_valid_steps = jnp.minimum(t0_val + n_t - t_base, J)
-        pos_steps, exc_bits = pallas_fused.fused_epoch(
+        pos_steps, exc_bits, cross_steps = pallas_fused.fused_epoch(
             spec, pos_s, dirs, ids_s, start_s, packed_s, next_end,
             corner_s, t_base, n_valid_steps, seed_k, epsilon, max_iter,
             interpret=interpret,
         )
         pos_s = pos_steps[-1]
         idexc_s = idexc_s | exc_bits.astype(jnp.int32)
+        if track:
+            # Fold the kernel's per-step transit counts into the trackers
+            # (classic rule, engine/core.py: a spin dwells step s in the
+            # compartment it ENDS step s in). Steps beyond n_valid report
+            # zero counts from the kernel; the dwell sum masks them too.
+            parity0 = cr2 & 1
+            ctot = lax.shift_right_logical(cr2, jnp.int32(1))
+            prefix = jnp.cumsum(cross_steps, axis=0)  # (J, n) inclusive
+            valid = (
+                jnp.arange(J, dtype=jnp.int32)[:, None] < n_valid_steps
+            )
+            par_after = (parity0[None, :] + prefix) & 1
+            intra = intra + jnp.sum(
+                jnp.where(valid, par_after, 0), axis=0, dtype=jnp.int32
+            )
+            ctot = ctot + prefix[-1]
+            cr2 = (ctot << 1) | ((parity0 + prefix[-1]) & 1)
 
         # Permute the epoch's per-step TRUE positions back to canonical
         # spin order (1 + 3J sort operands — far below the ~21-operand
@@ -717,36 +760,47 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
 
         # idexc travels with positions (epoch order); phases stay original.
         positions = pos_s + shiftvox_s
-        return (positions, phases, idexc_s), None
+        return (positions, phases, idexc_s, cr2, intra), None
 
-    (positions, phases, idexc), _ = lax.scan(
+    (positions, phases, idexc, cr2, intra), _ = lax.scan(
         epoch,
-        (positions, phases, idexc),
+        (positions, phases, idexc, cr2, intra),
         (jnp.arange(n_epochs), g_epochs),
     )
 
     # Restore original spin order once per window.
     ops = lax.sort(
-        (idexc, positions[0], positions[1], positions[2]), num_keys=1
+        (idexc, positions[0], positions[1], positions[2])
+        + ((cr2, intra) if track else ()),
+        num_keys=1,
     )
     idexc = ops[0][:n_true]
     positions = jnp.stack(ops[1:4])[:, :n_true]
     phases = phases[:m, :n_true]
     iter_exc = (idexc & 1).astype(bool)
+    if track:
+        cr2_c, intra_c = ops[4][:n_true], ops[5][:n_true]
+        compartments = (
+            lax.shift_right_logical(cr2_c, jnp.int32(1)),
+            (cr2_c & 1).astype(bool),
+            intra_c,
+        )
+        return (positions, phases, iter_exc), None, compartments
     return (positions, phases, iter_exc), None
 
 
 def run_window_fused_sharded(device_mesh, spec, positions, phases, iter_exc,
                              g_eff, ts, seed32, epsilon, max_iter,
-                             interpret=False):
+                             interpret=False, track=False, compartments=None):
     """Shard-mapped fused window: per-shard sorts and kernel launches.
 
     Spins are embarrassingly parallel, so the whole fused pipeline (epoch
-    sort, kernel, phase matmul) runs shard-locally under ``shard_map`` with
-    zero cross-device communication; the walker ids are offset per shard so
-    every spin keeps the global RNG stream it would have on one device,
-    making the physics independent of the device count. (The reference is
-    strictly single-GPU: disimpy/simulations.py:1163-1166.)
+    sort, kernel, phase matmul, transit tracking) runs shard-locally under
+    ``shard_map`` with zero cross-device communication; the walker ids are
+    offset per shard so every spin keeps the global RNG stream it would
+    have on one device, making the physics independent of the device
+    count. (The reference is strictly single-GPU:
+    disimpy/simulations.py:1163-1166.)
     """
     from jax import shard_map
     from ..parallel.sharding import SPIN_AXIS
@@ -755,21 +809,28 @@ def run_window_fused_sharded(device_mesh, spec, positions, phases, iter_exc,
     n_global = positions.shape[1]
     n_local = n_global // device_mesh.devices.size
 
-    def local(spec_l, pos, ph, exc, g_l, ts_l, seed_l, eps_l, mi_l):
+    def local(spec_l, pos, ph, exc, g_l, ts_l, seed_l, eps_l, mi_l, *comp):
         id_base = lax.axis_index(SPIN_AXIS) * jnp.int32(n_local)
-        (p2, ph2, e2), _ = run_window_fused(
+        out = run_window_fused(
             spec_l, pos, ph, exc, g_l, ts_l, seed_l, eps_l, mi_l,
-            interpret=interpret, id_base=id_base,
+            interpret=interpret, id_base=id_base, track=track,
+            compartments=comp if track else None,
         )
-        return p2, ph2, e2
+        (p2, ph2, e2) = out[0]
+        return (p2, ph2, e2) + (out[2] if track else ())
 
     col = P(None, SPIN_AXIS)
-    positions, phases, iter_exc = shard_map(
+    row = P(SPIN_AXIS)
+    comp_in = (row, row, row) if track else ()
+    out = shard_map(
         local,
         mesh=device_mesh,
-        in_specs=(P(), col, col, P(SPIN_AXIS), P(), P(), P(), P(), P()),
-        out_specs=(col, col, P(SPIN_AXIS)),
+        in_specs=(P(), col, col, row, P(), P(), P(), P(), P()) + comp_in,
+        out_specs=(col, col, row) + comp_in,
         check_vma=False,
     )(spec, positions, phases, iter_exc, g_eff, ts, seed32, epsilon,
-      max_iter)
+      max_iter, *(compartments if track else ()))
+    positions, phases, iter_exc = out[0], out[1], out[2]
+    if track:
+        return (positions, phases, iter_exc), None, tuple(out[3:6])
     return (positions, phases, iter_exc), None

@@ -97,7 +97,7 @@ def _size_class(nun):
 
 def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
             pi_ref, pf_ref, pos_ref, dirs_ref, idrow_ref, table_ref,
-            out_ref, arena, sem, st, act, ubuf,
+            out_ref, arena, sem, st, act, ubuf, crs,
             roffs, rpcks, rsrcs, rlane, rcnt, rq0s, rq1s, blkact, *,
             J, ablate=0):
     """One tile: J time steps, all bounces, windowed over the arena.
@@ -369,6 +369,13 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
             ubuf[...] = krng.bounce_uniform(seed, t_abs, idrow_ref[...], it)
 
         go = ubuf[...] < perm
+
+        # Membrane-transit counting for exchange statistics / relaxation
+        # (impermeable runs never cross, so the count row is write-free).
+        @pl.when(perm > 0)
+        def _():
+            crs[...] = crs[...] + jnp.where(hit & go, 1.0, 0.0)
+
         r0x, r0y, r0z = stv[0:1], stv[1:2], stv[2:3]
         vx, vy, vz = d * dxr, d * dyr, d * dzr
         dp = vx * nx + vy * ny + vz * nz
@@ -434,6 +441,7 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
                 st[6:7] = jnp.where(wmask, 1.0, stv[6:7])
                 st[7:8] = jnp.where(wmask, 1.0, stv[7:8])
                 act[...] = jnp.where(wmask, 1.0, 0.0)
+                crs[...] = jnp.where(wmask, 0.0, crs[...])
                 if ablate == 2:
                     return
 
@@ -468,8 +476,11 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
                     adv = stv2[r: r + 1] + stv2[3 + r: 4 + r] * stv2[6:7]
                     st[r: r + 1] = jnp.where(wmask, adv, stv2[r: r + 1])
 
-            # Per-step output (positions + iteration-overflow flag); steps
-            # beyond the simulated window repeat the current position.
+            # Per-step output (positions + an aux row packing the
+            # iteration-overflow flag and the step's membrane-transit
+            # count as 2*transits + exc — both small exact f32 ints);
+            # steps beyond the simulated window repeat the current
+            # position and report a zero aux row.
             if ablate == 13:  # 13 = level 1 minus the out writes
                 continue
             stv3 = st[...]
@@ -477,12 +488,13 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
             exc_col = jnp.where(
                 step_valid & (stv3[7:8] >= max_iter_f), 1.0, 0.0
             )
+            aux_col = exc_col + 2.0 * jnp.where(step_valid, crs[...], 0.0)
             for r in range(3):
                 out_ref[4 * s + r: 4 * s + r + 1, :] = jnp.where(
                     wmask, stv3[r: r + 1], ov[4 * s + r: 4 * s + r + 1]
                 )
             out_ref[4 * s + 3: 4 * s + 4, :] = jnp.where(
-                wmask, exc_col, ov[4 * s + 3: 4 * s + 4]
+                wmask, aux_col, ov[4 * s + 3: 4 * s + 4]
             )
         return w_end
 
@@ -491,6 +503,7 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
     st[3:8] = jnp.zeros((5, TILE), jnp.float32)
     act[...] = jnp.zeros((1, TILE), jnp.float32)
     ubuf[...] = jnp.ones((1, TILE), jnp.float32)
+    crs[...] = jnp.zeros((1, TILE), jnp.float32)
 
     lax.while_loop(lambda w: w < TILE, window, jnp.int32(0))
 
@@ -529,6 +542,7 @@ def _launch(starts, packed, nexts, corner, params_i, params_f, pos, dirs,
             pltpu.VMEM((8, TILE), jnp.float32),
             pltpu.VMEM((1, TILE), jnp.float32),
             pltpu.VMEM((1, TILE), jnp.float32),
+            pltpu.VMEM((1, TILE), jnp.float32),
             pltpu.SMEM((1, TILE), jnp.int32),
             pltpu.SMEM((1, TILE), jnp.int32),
             pltpu.SMEM((1, TILE), jnp.int32),
@@ -562,7 +576,8 @@ def fused_epoch(spec, pos_s, dirs, ids_s, start_s, packed_s, next_end,
     how many of the J steps are inside the simulated window (trailing
     steps are no-ops).
 
-    Returns (per-step positions (J, 3, n), iter_exc (n,) bool).
+    Returns (per-step positions (J, 3, n), iter_exc (n,) bool,
+    per-step membrane-transit counts (J, n) int32).
     """
     J = dirs.shape[0]
     n = pos_s.shape[1]
@@ -595,5 +610,7 @@ def fused_epoch(spec, pos_s, dirs, ids_s, start_s, packed_s, next_end,
     )
     steps = out.reshape(J, 4, n)
     pos_steps = steps[:, 0:3, :]  # (J, 3, n)
-    exc = jnp.any(steps[:, 3, :] > 0.5, axis=0)
-    return pos_steps, exc
+    aux = steps[:, 3, :]  # 2 * transits + exc, exact small f32 ints
+    cross_steps = jnp.floor(aux * 0.5).astype(jnp.int32)
+    exc = jnp.any(aux - 2.0 * jnp.floor(aux * 0.5) > 0.5, axis=0)
+    return pos_steps, exc, cross_steps

@@ -634,10 +634,6 @@ def simulation(
         mesh_engine = engine_config.mesh_engine(
             dtype, needs_traj=bool(traj), sharded=devices is not None
         )
-        if track:
-            # Crossing counts are tracked by the classic per-bounce engine;
-            # the fused kernel does not report transits (yet).
-            mesh_engine = "classic"
     spec, positions_np, frame_to_lab, extent, mesh_engine = _prepare_substrate(
         substrate, n_walkers, seed, scale, dtype, quiet,
         mesh_engine=mesh_engine,
@@ -751,36 +747,40 @@ def simulation(
             from .engine import fused
 
             if mesh is not None:
-                (positions, phases, iter_exc), collected = (
-                    fused.run_window_fused_sharded(
-                        mesh,
-                        spec,
-                        positions,
-                        phases,
-                        iter_exc,
-                        g_eff_dev[t0:t1],
-                        jnp.arange(t0, t1),
-                        seed32,
-                        epsilon_dev,
-                        max_iter_dev,
-                        interpret=engine_config.pallas_interpret,
-                    )
+                out = fused.run_window_fused_sharded(
+                    mesh,
+                    spec,
+                    positions,
+                    phases,
+                    iter_exc,
+                    g_eff_dev[t0:t1],
+                    jnp.arange(t0, t1),
+                    seed32,
+                    epsilon_dev,
+                    max_iter_dev,
+                    interpret=engine_config.pallas_interpret,
+                    track=track,
+                    compartments=compartments,
                 )
             else:
-                (positions, phases, iter_exc), collected = (
-                    fused.run_window_fused(
-                        spec,
-                        positions,
-                        phases,
-                        iter_exc,
-                        g_eff_dev[t0:t1],
-                        jnp.arange(t0, t1),
-                        seed32,
-                        epsilon_dev,
-                        max_iter_dev,
-                        interpret=engine_config.pallas_interpret,
-                    )
+                out = fused.run_window_fused(
+                    spec,
+                    positions,
+                    phases,
+                    iter_exc,
+                    g_eff_dev[t0:t1],
+                    jnp.arange(t0, t1),
+                    seed32,
+                    epsilon_dev,
+                    max_iter_dev,
+                    interpret=engine_config.pallas_interpret,
+                    track=track,
+                    compartments=compartments,
                 )
+            if track:
+                (positions, phases, iter_exc), collected, compartments = out
+            else:
+                (positions, phases, iter_exc), collected = out
         else:
             out = engine_core.run_window(
                 kind,

@@ -247,6 +247,71 @@ def test_fused_matches_classic_physics(oracles_dir):
     assert r_f.max() < 5e-6 * (1 + 1e-3)
 
 
+def test_fused_transit_tracking_permeable():
+    """Fused-kernel membrane-transit counting (exchange stats/relaxation):
+    with b = 0 the signal must exactly equal the sum of the per-walker
+    weights implied by the reported intra dwell steps, and the tracked
+    parity must agree with geometric re-classification of the final
+    positions (same invariants as the classic-path tests in
+    test_exchange.py)."""
+    n_s, n_t = 300, 50
+    dt = 2e-4
+    gradient = np.zeros((1, n_t, 3))
+    vertices, faces = meshes.icosphere(radius=5e-6, subdivisions=2)
+    substrate = substrates.mesh(
+        vertices, faces, periodic=True, init_pos="intra",
+        n_sv=np.array([4, 4, 4]), quiet=True, perm_prob=0.5,
+    )
+    t2_intra, t2_extra = 25e-3, 150e-3
+    try:
+        config.use_fused = True
+        config.pallas_interpret = True
+        signals, pos, stats = simulations.simulation(
+            n_s, 2e-9, gradient, dt, substrate, quiet=True, seed=11,
+            final_pos=True, relaxation=(t2_intra, t2_extra),
+            exchange_stats=True,
+        )
+    finally:
+        config.use_fused = None
+        config.pallas_interpret = False
+    assert stats["crossings"].max() > 0
+    assert 0.0 < stats["intra_fraction"].mean() < 1.0
+    k = stats["intra_steps"].astype(float)
+    w = np.exp(-(dt / t2_intra) * k - (dt / t2_extra) * (n_t - k))
+    npt.assert_allclose(signals[0], w.sum(), rtol=1e-5)
+    # Parity check: inside <=> even transit count (started intra).
+    voxel = np.asarray(substrate.voxel_size)
+    wrapped = pos - np.floor(pos / voxel) * voxel
+    inside = simulations._make_intra_classifier(substrate)(wrapped)
+    expected = (stats["crossings"] % 2) == 0
+    assert float((inside != expected).mean()) < 0.01
+
+
+def test_fused_transit_tracking_impermeable_zeros():
+    """Impermeable mesh through the fused tracking path: zero transits,
+    pure intra dwell (kernel counting is gated off at perm == 0)."""
+    n_s, n_t = 128, 20
+    gradient = np.zeros((1, n_t, 3))
+    vertices, faces = meshes.icosphere(radius=5e-6, subdivisions=2)
+    substrate = substrates.mesh(
+        vertices, faces, periodic=True, init_pos="intra",
+        n_sv=np.array([4, 4, 4]), quiet=True,
+    )
+    try:
+        config.use_fused = True
+        config.pallas_interpret = True
+        signals, stats = simulations.simulation(
+            n_s, 2e-9, gradient, 2e-4, substrate, quiet=True,
+            exchange_stats=True,
+        )
+    finally:
+        config.use_fused = None
+        config.pallas_interpret = False
+    npt.assert_array_equal(stats["crossings"], 0)
+    npt.assert_array_equal(stats["intra_steps"], n_t)
+    npt.assert_allclose(signals[0], n_s, rtol=1e-6)
+
+
 def test_fused_iter_exc_flagging(oracles_dir):
     n_s, n_t = 256, 12
     gradient, dt, substrate = _misst_like_setup(oracles_dir, n_s, n_t, 2)

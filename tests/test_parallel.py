@@ -89,6 +89,37 @@ def test_sharded_fused_engine_matches_single_device(mesh8):
     npt.assert_allclose(s8, s1, rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_fused_transit_tracking_matches_single_device(mesh8):
+    """Fused transit tracking under shard_map: the per-shard kernels count
+    membrane transits with globally-offset walker ids, so the exchange
+    statistics must be identical to the single-device fused run."""
+    from disimpy_tpu.engine import config
+
+    vertices, faces = meshes.icosphere(radius=5e-6, subdivisions=1)
+    substrate = substrates.mesh(
+        vertices, faces, periodic=True, init_pos="intra",
+        n_sv=np.array([2, 2, 2]), quiet=True, perm_prob=0.5,
+    )
+    gradient, dt = example_gradient(20)
+    kwargs = dict(quiet=True, exchange_stats=True)
+    try:
+        config.use_fused = True
+        config.pallas_interpret = True
+        s1, st1 = simulations.simulation(
+            250, 2e-9, gradient, dt, substrate, **kwargs
+        )
+        s8, st8 = simulations.simulation(
+            250, 2e-9, gradient, dt, substrate, devices=mesh8, **kwargs
+        )
+    finally:
+        config.use_fused = None
+        config.pallas_interpret = False
+    assert st1["crossings"].max() > 0
+    npt.assert_array_equal(st8["crossings"], st1["crossings"])
+    npt.assert_array_equal(st8["intra_steps"], st1["intra_steps"])
+    npt.assert_allclose(s8, s1, rtol=1e-5, atol=1e-6)
+
+
 def test_sharded_mesh_simulation_matches_single_device(mesh8):
     """The hardest sharded path: the mesh bounce machinery under GSPMD.
 
