@@ -104,6 +104,40 @@ def main(n_spins=524288, n_t=150, n_meas=32, profile_dir=None,
             quiet=True,
         )
 
+    # Candidate-streaming diagnostic: mean triangles each spin's lane block
+    # folds per epoch step (the over-testing metric from the roadmap).
+    # Uses the same packed table the run will use and a uniform seeding
+    # sample; printed to stderr, not part of the JSON contract.
+    try:
+        from disimpy_tpu.engine import config as engine_config, fused
+
+        spec = fused.pack_fused(
+            substrate, 1.0 / step_l,
+            resort_every=engine_config.fused_resort_every,
+            cell_steps=engine_config.fused_cell_steps,
+            n_hint=float(n_spins),
+        )
+        packed = np.asarray(spec.cell_packed)
+        rng = np.random.RandomState(0)
+        pts = rng.random_sample((20000, 3)) * np.asarray(
+            substrate.voxel_size
+        ) / step_l
+        cell = np.minimum(
+            (pts / np.asarray(spec.sv_width)).astype(int),
+            np.array(spec.n_sv) - 1,
+        )
+        flat = (cell[:, 0] * spec.n_sv[1] + cell[:, 1]) * spec.n_sv[2] + cell[:, 2]
+        mask = (1 << fused.BITS) - 1
+        for s in range(spec.resort_every):
+            units = (packed[flat] >> (fused.BITS * s)) & mask
+            print(
+                f"streamed tris/spin, epoch step {s}: "
+                f"{units.mean() * fused.UNIT_TRIS:.1f}",
+                file=sys.stderr,
+            )
+    except Exception as e:  # diagnostic only — never fail the bench
+        print(f"candidate diagnostic skipped: {e}", file=sys.stderr)
+
     # Warm-up run compiles everything and faults in the mesh buffers.
     t0 = time.time()
     run(1)
