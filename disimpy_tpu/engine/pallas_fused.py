@@ -86,6 +86,22 @@ _CLASSES = (1, 2, 4, 8, 16, 32)
 # first-compiled variant for every later value.
 _DEBUG_ABLATE = 0
 
+# Runtime dilation-level selection (threaded as a static parameter like
+# _DEBUG_ABLATE — clear both _launch's and run_window_fused's caches when
+# flipping for an A/B). When on, each run folds the smallest distance
+# prefix that covers its active spins' actual reach this pass (distance to
+# the anchor-cell box + remaining segment) instead of the epoch step's
+# worst-case prefix: late epoch steps provision for s+1 steps of drift a
+# typical spin never takes, and re-passes have rem << 1, so both fold a
+# fraction of the static prefix. Physics is bit-identical: every triangle
+# a segment can reach lies within (reach + slack) of the box, and the
+# pack's level assignment guarantees such triangles sit in the selected
+# prefix (_build_table dist_lb <= true distance).
+_RUNTIME_LEVEL = True
+# Safety margin added to the measured reach before the ladder compare:
+# covers the hit-acceptance SLACK and f32 rounding of the reach itself.
+_REQ_MARGIN = np.float32(0.05)
+
 
 def _size_class(nun):
     """Smallest DMA size class covering ``nun`` units (scalar int32)."""
@@ -99,7 +115,7 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
             pi_ref, pf_ref, pos_ref, dirs_ref, idrow_ref, table_ref,
             out_ref, arena, sem, st, act, ubuf, crs,
             roffs, rpcks, rsrcs, rlane, rcnt, rq0s, rq1s, blkact, *,
-            J, ablate=0):
+            J, ablate=0, runtime_level=True):
     """One tile: J time steps, all bounces, windowed over the arena.
 
     Table rows are stored in CELL-LOCAL coordinates (the pack subtracts
@@ -117,6 +133,9 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
     n_valid = pi_ref[0, 3]
     eps = pf_ref[0, 0]
     perm = pf_ref[0, 1]
+    # Cell widths and the epoch's dilation ladder (runtime level selection).
+    wcell = (pf_ref[0, 2], pf_ref[0, 3], pf_ref[0, 4])
+    dil_vals = [pf_ref[0, 5 + l] for l in range(J)]
     tile_base = pl.program_id(0) * TILE
     mask6 = jnp.int32((1 << BITS) - 1)
     sh_last = jnp.int32((J - 1) * BITS)
@@ -272,6 +291,8 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
         dxr = stv[3:4]
         dyr = stv[4:5]
         dzr = stv[5:6]
+        remr = stv[6:7]
+        av = act[...]
 
         sh_s = jnp.int32(s * BITS)
         liota = lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
@@ -281,6 +302,7 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
             sl = slice(q * BLK, (q + 1) * BLK)
             xb, yb, zb = x[:, sl], y[:, sl], z[:, sl]
             dxb, dyb, dzb = dxr[:, sl], dyr[:, sl], dzr[:, sl]
+            remb, actb = remr[:, sl], av[:, sl]
             qbase = jnp.int32(q * BLK)
 
             # Active gating: pass 0 always folds; later passes skip blocks
@@ -290,9 +312,8 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
             r_hi = jnp.where(gate, rq1s[0, q], jnp.int32(0))
 
             def per_run(kk, acc, xb=xb, yb=yb, zb=zb, dxb=dxb, dyb=dyb,
-                        dzb=dzb, qbase=qbase):
+                        dzb=dzb, remb=remb, actb=actb, qbase=qbase):
                 off = roffs[0, kk]
-                cnt = lax.shift_right_logical(rpcks[0, kk], sh_s) & mask6
                 # Run frame: spins relative to the run's cell corner, and
                 # lanes outside [start, end) masked (their coordinates are
                 # in a different cell's frame — never valid geometry).
@@ -305,6 +326,29 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
                 xq = xb - c0
                 yq = yb - c1
                 zq = zb - c2
+                if runtime_level:
+                    # Reach of this run's active spins this pass: distance
+                    # to the anchor-cell box plus the remaining segment.
+                    # Pick the smallest ladder prefix covering it (see the
+                    # _RUNTIME_LEVEL note); -inf sentinel when the run has
+                    # no active lane -> fold nothing at all.
+                    ex = jnp.maximum(jnp.maximum(-xq, xq - wcell[0]), 0.0)
+                    ey = jnp.maximum(jnp.maximum(-yq, yq - wcell[1]), 0.0)
+                    ez = jnp.maximum(jnp.maximum(-zq, zq - wcell[2]), 0.0)
+                    reach = jnp.sqrt(ex * ex + ey * ey + ez * ez) + remb
+                    m = jnp.max(
+                        jnp.where(inrun & (actb > 0), reach, -1.0)
+                    )
+                    req = m + _REQ_MARGIN
+                    lvl = jnp.int32(0)
+                    for l in range(s):
+                        lvl = lvl + (dil_vals[l] < req).astype(jnp.int32)
+                    cnt = lax.shift_right_logical(
+                        rpcks[0, kk], lvl * jnp.int32(BITS)
+                    ) & mask6
+                    cnt = jnp.where(m < 0, jnp.int32(0), cnt)
+                else:
+                    cnt = lax.shift_right_logical(rpcks[0, kk], sh_s) & mask6
                 cxq = yq * dzb - zq * dyb
                 cyq = zq * dxb - xq * dzb
                 czq = xq * dyb - yq * dxb
@@ -525,7 +569,7 @@ def _launch(starts, packed, nexts, corner, params_i, params_f, pos, dirs,
             pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 4), lambda t: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4), lambda t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 16), lambda t: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((3, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, TILE), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
@@ -554,7 +598,8 @@ def _launch(starts, packed, nexts, corner, params_i, params_f, pos, dirs,
         ],
     )
     return pl.pallas_call(
-        partial(_kernel, J=J, ablate=_DEBUG_ABLATE),
+        partial(_kernel, J=J, ablate=_DEBUG_ABLATE,
+                runtime_level=_RUNTIME_LEVEL),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((4 * J, n_pad), jnp.float32),
         interpret=interpret,
@@ -596,12 +641,25 @@ def fused_epoch(spec, pos_s, dirs, ids_s, start_s, packed_s, next_end,
             jnp.asarray(n_valid_steps, jnp.int32),
         )
     )[None, :]
-    params_f = jnp.stack(
+    # params_f layout: [eps, perm, cell widths (3), dilation ladder (5,
+    # zero-padded past J), pad to 16]. The ladder must be the exact one
+    # the table was packed with (same eps margin) — runtime level
+    # selection compares measured reach against it.
+    from .fused import _dilations, EPS_BOUNCES
+
+    dil = _dilations(J, eps_margin=EPS_BOUNCES * spec.eps_budget)
+    dil_pad = jnp.asarray(dil + [0.0] * (5 - J), jnp.float32)
+    params_f = jnp.concatenate(
         (
-            jnp.asarray(epsilon, jnp.float32),
-            spec.perm_prob.astype(jnp.float32),
-            jnp.float32(0),
-            jnp.float32(0),
+            jnp.stack(
+                (
+                    jnp.asarray(epsilon, jnp.float32),
+                    spec.perm_prob.astype(jnp.float32),
+                )
+            ),
+            spec.sv_width.astype(jnp.float32),
+            dil_pad,
+            jnp.zeros(6, jnp.float32),
         )
     )[None, :]
     out = _launch(

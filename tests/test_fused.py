@@ -312,6 +312,48 @@ def test_fused_transit_tracking_impermeable_zeros():
     npt.assert_allclose(signals[0], n_s, rtol=1e-6)
 
 
+def test_runtime_level_selection_bit_identical():
+    """Runtime dilation-level selection must be a pure work-saving: every
+    triangle a segment can reach lies within (reach + margin) of the
+    anchor box, so folding the selected prefix instead of the epoch step's
+    worst-case prefix yields bit-identical physics (pallas_fused
+    _RUNTIME_LEVEL note)."""
+    from disimpy_tpu.engine import pallas_fused
+
+    n_s, n_t = 200, 20
+    gradient = np.zeros((1, n_t, 3))
+    gradient[:, 1:-1, 0] = 1e-3
+    vertices, faces = meshes.icosphere(radius=5e-6, subdivisions=1)
+    substrate = substrates.mesh(
+        vertices, faces, periodic=True, init_pos="intra",
+        n_sv=np.array([2, 2, 2]), quiet=True, perm_prob=0.3,
+    )
+
+    def run():
+        pallas_fused._launch.clear_cache()
+        fused.run_window_fused.clear_cache()
+        return simulations.simulation(
+            n_s, 2e-9, gradient, 2e-4, substrate, quiet=True, seed=9,
+            final_pos=True,
+        )
+
+    try:
+        config.use_fused = True
+        config.pallas_interpret = True
+        pallas_fused._RUNTIME_LEVEL = True
+        s_on, p_on = run()
+        pallas_fused._RUNTIME_LEVEL = False
+        s_off, p_off = run()
+    finally:
+        pallas_fused._RUNTIME_LEVEL = True
+        pallas_fused._launch.clear_cache()
+        fused.run_window_fused.clear_cache()
+        config.use_fused = None
+        config.pallas_interpret = False
+    npt.assert_array_equal(p_on, p_off)
+    npt.assert_array_equal(s_on, s_off)
+
+
 def test_fused_iter_exc_flagging(oracles_dir):
     n_s, n_t = 256, 12
     gradient, dt, substrate = _misst_like_setup(oracles_dir, n_s, n_t, 2)
