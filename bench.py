@@ -24,14 +24,9 @@ def enable_compilation_cache():
     """Persistent XLA compilation cache: the epoch kernel costs minutes of
     (remote-service) compile per shape; a second bench invocation with the
     same shapes warm-starts from disk."""
-    import jax
+    from disimpy_tpu.utils import enable_compilation_cache as _enable
 
-    cache_dir = os.path.join(
-        os.path.expanduser("~"), ".cache", "disimpy_tpu", "xla_cache"
-    )
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    return _enable()
 
 
 def build_substrate(step_l, workload="bundle"):

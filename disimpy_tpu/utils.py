@@ -8,6 +8,39 @@ the core simulator has no hard plotting dependency.
 import numpy as np
 
 
+def enable_compilation_cache(cache_dir=None, min_compile_time_secs=5.0):
+    """Enable jax's persistent compilation cache for this process.
+
+    The mesh epoch kernel costs minutes of (remote-service) compile per
+    shape; with the cache enabled, a later process running the same shapes
+    warm-starts from disk in seconds (TPU-native addition; the reference's
+    numba kernels JIT per process with no persistent cache). Call before
+    the first ``simulation()``.
+
+    Parameters
+    ----------
+    cache_dir : str, optional
+        Cache directory (default ``~/.cache/disimpy_tpu/xla_cache``).
+    min_compile_time_secs : float, optional
+        Only compilations at least this slow are cached.
+    """
+    import os
+
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "disimpy_tpu", "xla_cache"
+        )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs",
+        float(min_compile_time_secs),
+    )
+    return cache_dir
+
+
 def vec2vec_rotmat(v, k):
     """Return the rotation matrix that rotates vector ``v`` onto vector ``k``.
 
