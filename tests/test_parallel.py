@@ -89,6 +89,25 @@ def test_sharded_fused_engine_matches_single_device(mesh8):
     npt.assert_allclose(s8, s1, rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_classic_tracking_permeable_sphere(mesh8):
+    """Exchange tracking on the classic engine under GSPMD (permeable
+    analytic sphere): compartment state is just more sharded scan carry,
+    so statistics must be bit-identical to the single-device run."""
+    gradient, dt = example_gradient(30)
+    substrate = substrates.sphere(5e-6, perm_prob=0.3)
+    kwargs = dict(quiet=True, exchange_stats=True)
+    s1, st1 = simulations.simulation(
+        250, 2e-9, gradient, dt, substrate, **kwargs
+    )
+    s8, st8 = simulations.simulation(
+        250, 2e-9, gradient, dt, substrate, devices=mesh8, **kwargs
+    )
+    assert st1["crossings"].max() > 0
+    npt.assert_array_equal(st8["crossings"], st1["crossings"])
+    npt.assert_array_equal(st8["intra_steps"], st1["intra_steps"])
+    npt.assert_allclose(s8, s1, rtol=1e-5, atol=1e-6)
+
+
 def test_sharded_fused_transit_tracking_matches_single_device(mesh8):
     """Fused transit tracking under shard_map: the per-shard kernels count
     membrane transits with globally-offset walker ids, so the exchange
