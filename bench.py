@@ -99,10 +99,12 @@ def main(n_spins=524288, n_t=150, n_meas=32, profile_dir=None,
             quiet=True,
         )
 
-    # Candidate-streaming diagnostic: mean triangles each spin's lane block
-    # folds per epoch step (the over-testing metric from the roadmap).
-    # Uses the same packed table the run will use and a uniform seeding
-    # sample; printed to stderr, not part of the JSON contract.
+    # Candidate-streaming diagnostic: STATIC worst-case prefix sizes per
+    # epoch step (the table's provisioning). The kernel's runtime
+    # dilation-level selection (pallas_fused._RUNTIME_LEVEL) folds
+    # per-(run x block) selected prefixes that are <= these, so this is an
+    # upper bound on what is actually streamed, useful for comparing pack
+    # configurations. Printed to stderr, not part of the JSON contract.
     try:
         from disimpy_tpu.engine import config as engine_config, fused
 
@@ -126,7 +128,7 @@ def main(n_spins=524288, n_t=150, n_meas=32, profile_dir=None,
         for s in range(spec.resort_every):
             units = (packed[flat] >> (fused.BITS * s)) & mask
             print(
-                f"streamed tris/spin, epoch step {s}: "
+                f"static prefix tris/spin, epoch step {s}: "
                 f"{units.mean() * fused.UNIT_TRIS:.1f}",
                 file=sys.stderr,
             )

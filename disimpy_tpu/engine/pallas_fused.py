@@ -398,7 +398,7 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
 
         # Resolve: componentwise on (1, TILE) rows — no (1, N) -> (k, N)
         # sublane broadcasts anywhere (see the layout note above).
-        rem = stv[6:7]
+        rem = remr
         iters = stv[7:8]
         a = act[...] > 0
         hit = a & (d <= rem + SLACK)
@@ -645,8 +645,9 @@ def fused_epoch(spec, pos_s, dirs, ids_s, start_s, packed_s, next_end,
     # zero-padded past J), pad to 16]. The ladder must be the exact one
     # the table was packed with (same eps margin) — runtime level
     # selection compares measured reach against it.
-    from .fused import _dilations, EPS_BOUNCES
+    from .fused import _dilations, EPS_BOUNCES, MAX_J
 
+    assert J <= MAX_J <= 5, "params_f reserves 5 ladder slots"
     dil = _dilations(J, eps_margin=EPS_BOUNCES * spec.eps_budget)
     dil_pad = jnp.asarray(dil + [0.0] * (5 - J), jnp.float32)
     params_f = jnp.concatenate(

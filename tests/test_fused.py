@@ -337,6 +337,7 @@ def test_runtime_level_selection_bit_identical():
             final_pos=True,
         )
 
+    prev_level = pallas_fused._RUNTIME_LEVEL
     try:
         config.use_fused = True
         config.pallas_interpret = True
@@ -345,7 +346,7 @@ def test_runtime_level_selection_bit_identical():
         pallas_fused._RUNTIME_LEVEL = False
         s_off, p_off = run()
     finally:
-        pallas_fused._RUNTIME_LEVEL = True
+        pallas_fused._RUNTIME_LEVEL = prev_level
         pallas_fused._launch.clear_cache()
         fused.run_window_fused.clear_cache()
         config.use_fused = None
