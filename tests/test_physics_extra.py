@@ -28,6 +28,9 @@ def _diffraction_minimum(n_s, n_t=int(3e3), delta=3e-4, DELTA=0.3):
     gradient[0, 1:n_lobe, 0] = 1.0
     gradient[0, -n_lobe:-1, 0] = -1.0
     gradient, dt = gradients.interpolate_gradient(gradient, dt, n_t)
+    # The pulse must survive the resampling: delta below ~2 output samples
+    # would leave an (almost) all-zero waveform that set_b rejects.
+    assert delta / dt >= 2.0
     # Sweep q around the expected first diffraction minimum.
     q_min_expected = 0.61 * 2 * np.pi / radius
     qs = np.linspace(0.6 * q_min_expected, 1.4 * q_min_expected, 41)
@@ -46,7 +49,10 @@ def _diffraction_minimum(n_s, n_t=int(3e3), delta=3e-4, DELTA=0.3):
 
 @pytest.mark.slow
 def test_cylinder_diffraction_minimum():
-    _diffraction_minimum(int(2e5), n_t=int(5e3), delta=1e-4, DELTA=0.5)
+    # delta = 1 ms keeps the narrow-pulse condition (delta << r^2/D = 50 ms)
+    # while spanning ~10 samples of the resampled waveform; the original
+    # delta = 0.1 ms fell between output samples and zeroed the pulse.
+    _diffraction_minimum(int(2e5), n_t=int(5e3), delta=1e-3, DELTA=0.5)
 
 
 def test_cylinder_diffraction_minimum_small():
