@@ -72,7 +72,7 @@ def build_substrate(step_l, workload="bundle"):
 
 
 def main(n_spins=524288, n_t=150, n_meas=32, profile_dir=None,
-         workload="bundle"):
+         workload="bundle", stream_diag=False):
     enable_compilation_cache()
     from disimpy_tpu import gradients, simulations
 
@@ -101,7 +101,7 @@ def main(n_spins=524288, n_t=150, n_meas=32, profile_dir=None,
 
     # Candidate-streaming diagnostic: STATIC worst-case prefix sizes per
     # epoch step (the table's provisioning). The kernel's runtime
-    # dilation-level selection (pallas_fused._RUNTIME_LEVEL) folds
+    # dilation-level selection (config.fused_runtime_level) folds
     # per-(run x block) selected prefixes that are <= these, so this is an
     # upper bound on what is actually streamed, useful for comparing pack
     # configurations. Printed to stderr, not part of the JSON contract.
@@ -134,6 +134,41 @@ def main(n_spins=524288, n_t=150, n_meas=32, profile_dir=None,
             )
     except Exception as e:  # diagnostic only — never fail the bench
         print(f"candidate diagnostic skipped: {e}", file=sys.stderr)
+
+    if stream_diag:
+        # MEASURED streaming (vs the static upper bounds above): run a
+        # short window with the counting kernel variant and report mean
+        # Moller-Trumbore pair-tests per spin-step and effective gated
+        # block-passes per step (round-2 acceptance criterion: < 64
+        # tris/spin-step).
+        from disimpy_tpu import simulations as sim_mod
+        from disimpy_tpu.engine import config as engine_config
+        from disimpy_tpu.engine.pallas_fused import TILE, NBLK, UNIT
+
+        n_short = 32
+        g_s, _ = gradients.pgse(
+            1e-3, dt * n_short - 1e-3, n_short, bvals, bvecs
+        )
+        engine_config.fused_count_units = True
+        try:
+            simulations.simulation(
+                n_spins, diffusivity, g_s, dt, substrate, seed=3, quiet=True
+            )
+        finally:
+            engine_config.fused_count_units = False
+        units, bpasses = sim_mod._STREAM_DIAG
+        n_tiles = -(-n_spins // TILE)
+        print(
+            f"measured streamed tris/spin-step: "
+            f"{units * UNIT * 128 / (n_spins * n_short):.1f} "
+            f"(units folded: {units})",
+            file=sys.stderr,
+        )
+        print(
+            f"effective gated block-passes/step: "
+            f"{bpasses / (n_tiles * NBLK * n_short):.2f}",
+            file=sys.stderr,
+        )
 
     # Warm-up run compiles everything and faults in the mesh buffers.
     t0 = time.time()
@@ -179,5 +214,9 @@ if __name__ == "__main__":
                     default="bundle",
                     help="bundle: 102k-tri cylinder array (headline); "
                     "neuron: the reference's 29,688-tri neuron model")
+    ap.add_argument("--stream", action="store_true",
+                    help="also measure true streamed tris/spin-step with "
+                    "the counting kernel variant (extra compile)")
     args = ap.parse_args()
-    main(profile_dir=args.profile, workload=args.workload)
+    main(profile_dir=args.profile, workload=args.workload,
+         stream_diag=args.stream)

@@ -1,13 +1,12 @@
 """Ablate the row-form fused kernel level by level on the real TPU.
 
-Levels (_DEBUG_ABLATE): 1 = window fill/DMA/adjust + out writes only,
-2 = + step scaffolding, 4 = + first-pass folds, 5 = + per-block reduce,
-3 = + full resolve (one pass), 0 = full multi-pass kernel.
+Levels (config.fused_ablate): 1 = window fill/DMA/adjust + out writes
+only, 2 = + step scaffolding, 4 = + first-pass folds, 5 = + per-block
+reduce, 3 = + full resolve (one pass), 0 = full multi-pass kernel.
 
-The knob is a module global threaded into the kernel as a static
-parameter; BOTH pallas_fused._launch and fused.run_window_fused caches
-must be cleared per level or every level silently re-runs the first
-compiled binary (see CLAUDE.md).
+The knob is a STATIC jit argument threaded config -> run_window_fused ->
+_launch: each level compiles and runs its own binary — no cache-clear
+ritual (the round-3 stale-jit failure mode is structurally gone).
 
     python benchmarks/ablate_flip.py [levels...] > /tmp/ablate_flip.log 2>&1
 """
@@ -25,7 +24,7 @@ import bench as bench_mod
 def main():
     bench_mod.enable_compilation_cache()
     from disimpy_tpu import gradients, simulations
-    from disimpy_tpu.engine import fused, pallas_fused
+    from disimpy_tpu.engine import config
 
     levels = [int(x) for x in sys.argv[1:]] or [1, 2, 4, 5, 3, 0]
     n_spins, n_t, n_meas = 524288, 30, 32
@@ -38,9 +37,7 @@ def main():
     gradient, g_dt = gradients.pgse(1e-3, dt * n_t - 1e-3, n_t, bvals, bvecs)
 
     for lv in levels:
-        pallas_fused._DEBUG_ABLATE = lv
-        pallas_fused._launch.clear_cache()
-        fused.run_window_fused.clear_cache()
+        config.fused_ablate = lv
         try:
             t0 = time.time()
             with warnings.catch_warnings():
@@ -66,9 +63,7 @@ def main():
             )
         except Exception as e:  # noqa: BLE001
             print(f"level {lv}: FAILED {e!r}", flush=True)
-    pallas_fused._DEBUG_ABLATE = 0
-    pallas_fused._launch.clear_cache()
-    fused.run_window_fused.clear_cache()
+    config.fused_ablate = 0
     print("DONE", flush=True)
 
 

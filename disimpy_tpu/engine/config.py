@@ -30,6 +30,20 @@ use_fused = None
 fused_resort_every = 4
 fused_cell_steps = None
 
+# A/B knobs for the fused kernel. Read OUTSIDE jit by the driver and
+# passed down as STATIC jit arguments (they key the compile caches), so a
+# flipped knob can never silently serve a stale binary — no cache-clear
+# ritual needed. ``fused_ablate``: 0 = full kernel; debug levels carve the
+# kernel down (see pallas_fused._kernel). ``fused_runtime_level``: per-run
+# runtime dilation-level selection (bit-identical physics, work-saving
+# only).
+fused_ablate = 0
+fused_runtime_level = True
+# When True (single-device fused runs only), the kernel counts folded
+# 64-triangle units and gated block-passes; the driver accumulates them in
+# simulations._STREAM_DIAG. Costs one extra kernel variant compile.
+fused_count_units = False
+
 
 def _on_tpu():
     import jax

@@ -589,10 +589,12 @@ def _run_ends(keys):
     return jnp.flip(lax.cummin(jnp.flip(boundary.astype(jnp.int32)))) + 1
 
 
-@partial(jax.jit, static_argnames=("interpret", "track"))
+@partial(jax.jit, static_argnames=("interpret", "track", "ablate",
+                                   "runtime_level", "count_units"))
 def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
                      epsilon, max_iter, interpret=False, id_base=0,
-                     track=False, compartments=None):
+                     track=False, compartments=None, ablate=0,
+                     runtime_level=True, count_units=False):
     """Advance the ensemble through the window ``ts`` with the fused engine.
 
     Arguments mirror engine.core.run_window (positions (3, n) true
@@ -668,7 +670,7 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
     seed_k = jnp.asarray(seed32, jnp.int32) ^ jnp.int32(spec.seed_salt)
 
     def epoch(carry, xs):
-        positions, phases, idexc, cr2, intra = carry
+        positions, phases, idexc, cr2, intra, diag = carry
         e_idx, g_e = xs
         t_base = t0_val + e_idx * J
 
@@ -718,11 +720,15 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
 
         # One kernel launch resolves all J steps' bounces (pallas_fused).
         n_valid_steps = jnp.minimum(t0_val + n_t - t_base, J)
-        pos_steps, exc_bits, cross_steps = pallas_fused.fused_epoch(
+        eout = pallas_fused.fused_epoch(
             spec, pos_s, dirs, ids_s, start_s, packed_s, next_end,
             corner_s, t_base, n_valid_steps, seed_k, epsilon, max_iter,
-            interpret=interpret,
+            interpret=interpret, ablate=ablate, runtime_level=runtime_level,
+            count_units=count_units,
         )
+        pos_steps, exc_bits, cross_steps = eout[:3]
+        if count_units:
+            diag = (diag[0] + eout[3][0], diag[1] + eout[3][1])
         pos_s = pos_steps[-1]
         idexc_s = idexc_s | exc_bits.astype(jnp.int32)
         if track:
@@ -760,11 +766,12 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
 
         # idexc travels with positions (epoch order); phases stay original.
         positions = pos_s + shiftvox_s
-        return (positions, phases, idexc_s, cr2, intra), None
+        return (positions, phases, idexc_s, cr2, intra, diag), None
 
-    (positions, phases, idexc, cr2, intra), _ = lax.scan(
+    diag0 = (jnp.int32(0), jnp.int32(0))
+    (positions, phases, idexc, cr2, intra, diag), _ = lax.scan(
         epoch,
-        (positions, phases, idexc, cr2, intra),
+        (positions, phases, idexc, cr2, intra, diag0),
         (jnp.arange(n_epochs), g_epochs),
     )
 
@@ -778,6 +785,7 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
     positions = jnp.stack(ops[1:4])[:, :n_true]
     phases = phases[:m, :n_true]
     iter_exc = (idexc & 1).astype(bool)
+    extra = (diag,) if count_units else ()
     if track:
         cr2_c, intra_c = ops[4][:n_true], ops[5][:n_true]
         compartments = (
@@ -785,13 +793,14 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
             (cr2_c & 1).astype(bool),
             intra_c,
         )
-        return (positions, phases, iter_exc), None, compartments
-    return (positions, phases, iter_exc), None
+        return ((positions, phases, iter_exc), None, compartments) + extra
+    return ((positions, phases, iter_exc), None) + extra
 
 
 def run_window_fused_sharded(device_mesh, spec, positions, phases, iter_exc,
                              g_eff, ts, seed32, epsilon, max_iter,
-                             interpret=False, track=False, compartments=None):
+                             interpret=False, track=False, compartments=None,
+                             ablate=0, runtime_level=True):
     """Shard-mapped fused window: per-shard sorts and kernel launches.
 
     Spins are embarrassingly parallel, so the whole fused pipeline (epoch
@@ -814,7 +823,8 @@ def run_window_fused_sharded(device_mesh, spec, positions, phases, iter_exc,
         out = run_window_fused(
             spec_l, pos, ph, exc, g_l, ts_l, seed_l, eps_l, mi_l,
             interpret=interpret, id_base=id_base, track=track,
-            compartments=comp if track else None,
+            compartments=comp if track else None, ablate=ablate,
+            runtime_level=runtime_level,
         )
         (p2, ph2, e2) = out[0]
         return (p2, ph2, e2) + (out[2] if track else ())

@@ -21,11 +21,19 @@ each driven by measurements on the target hardware
   granularity cuts the wasted fold width ~2-6x vs the previous 128-wide
   chunks on typical cell occupancies.
 
-- **Resident candidate arena.** Each run's candidate row is DMA'd from HBM
-  once per *epoch* (pipelined, ~70 ns/issue) and reused across every step
-  and bounce pass. The fill walk records a flat SMEM run table (arena
-  offset, packed counts, per-lane-block run ranges) so bounce passes never
-  re-walk the run structure.
+- **Resident candidate arena, run table built by XLA.** Each run's
+  candidate row is DMA'd from HBM once per *epoch* (pipelined, ~70
+  ns/issue) and reused across every step and bounce pass. The run table
+  (run start lanes, arena offsets, window partition, per-lane-block run
+  ranges) is a pure function of the sorted cell keys, so it is computed
+  VECTORIZED in XLA once per epoch (fused._epoch_run_tables: one batched
+  (n_tiles, TILE) sort + cumsums) and passed in as dense SMEM inputs; the
+  kernel's only remaining scalar work per run is starting and waiting its
+  DMA. (Round 3's in-kernel scalar fill walk alone cost 11-12 ms/step at
+  524k spins — the whole point of this hoist.) Windows use quantized
+  offsets: window w covers the runs whose exclusive class-size cumsum
+  falls in [w*CAP, (w+1)*CAP) with CAP = ARENA_U - CH_MAX, so every
+  window's rows fit the arena without any sequential packing walk.
 
 - **Feature-form Moller-Trumbore in cell-local frames.** The table stores
   per-triangle vectors [N = E1 x E2, A.N, E2, E2 x A, E1, A x E1] so that
@@ -68,7 +76,16 @@ BLK = 128  # fold lane-block width (one vreg of spins)
 NBLK = TILE // BLK
 UNIT = 64  # triangles per table unit (8 sublane-groups of 8)
 CH_MAX = _CH_MAX  # max units per cell row (pack_fused enforces)
-ARENA_U = 64  # resident arena capacity (units); windows split bigger demand
+# Resident arena capacity (units = 4 KB each): 1 MB of the ~16 MB VMEM.
+# Sized so typical tiles fit ONE window — every extra window re-runs the
+# whole J-step reduce/resolve machinery for its lane range (e.g. the
+# 102k-tri bench at J=4: ~8 runs x 16-unit DMA class = 128 units/tile,
+# which a 128-unit arena with CAP = 96 would split in two).
+ARENA_U = 256
+# Quantized-window capacity: run k goes to window cum_excl(k) // CAP, so a
+# window's rows span < CAP + CH_MAX <= ARENA_U arena slots (fused.
+# _epoch_run_tables) — vectorizable with a plain cumsum, no greedy walk.
+CAP = ARENA_U - _CH_MAX
 EDGE_TOL = np.float32(1e-5)  # barycentric leak-proofing tolerance (f32)
 SLACK = np.float32(1e-5)  # hit-acceptance slack in step lengths (f32)
 _INF = np.float32(np.inf)
@@ -78,44 +95,106 @@ _INF = np.float32(np.inf)
 # use the exact per-step unit count).
 _CLASSES = (1, 2, 4, 8, 16, 32)
 
-# Temporary ablation knob for performance debugging (0 = full kernel,
-# 1 = window walks only, 2 = + step scaffolding, 3 = + first pass only).
-# Threaded into the kernel as a static parameter: module-global reads from
-# inside the kernel body are frozen at FIRST trace (pallas caches the
-# traced kernel jaxpr per function identity), which silently serves the
-# first-compiled variant for every later value.
-_DEBUG_ABLATE = 0
-
-# Runtime dilation-level selection (threaded as a static parameter like
-# _DEBUG_ABLATE — clear both _launch's and run_window_fused's caches when
-# flipping for an A/B). When on, each run folds the smallest distance
-# prefix that covers its active spins' actual reach this pass (distance to
-# the anchor-cell box + remaining segment) instead of the epoch step's
-# worst-case prefix: late epoch steps provision for s+1 steps of drift a
-# typical spin never takes, and re-passes have rem << 1, so both fold a
-# fraction of the static prefix. Physics is bit-identical: every triangle
-# a segment can reach lies within (reach + slack) of the box, and the
-# pack's level assignment guarantees such triangles sit in the selected
-# prefix (_build_table dist_lb <= true distance).
-_RUNTIME_LEVEL = True
+# The ablation (0 = full kernel, 1 = window walks only, 2 = + step
+# scaffolding, 3 = + first pass only, ...) and runtime-level knobs are
+# EXPLICIT static arguments of ``_launch``/``fused_epoch`` (and kwargs of
+# ``fused.run_window_fused``), keyed into the jit caches — flipping them
+# can never silently serve a stale binary. ``runtime_level=True`` makes
+# each run fold the smallest distance prefix that covers its active spins'
+# actual reach this pass (distance to the anchor-cell box + remaining
+# segment) instead of the epoch step's worst-case prefix: late epoch steps
+# provision for s+1 steps of drift a typical spin never takes, and
+# re-passes have rem << 1, so both fold a fraction of the static prefix.
+# Physics is bit-identical: every triangle a segment can reach lies within
+# (reach + slack) of the box, and the pack's level assignment guarantees
+# such triangles sit in the selected prefix (_build_table dist_lb <= true
+# distance).
 # Safety margin added to the measured reach before the ladder compare:
 # covers the hit-acceptance SLACK and f32 rounding of the reach itself.
 _REQ_MARGIN = np.float32(0.05)
 
 
 def _size_class(nun):
-    """Smallest DMA size class covering ``nun`` units (scalar int32)."""
+    """Smallest DMA size class covering ``nun`` units (int32, any shape)."""
     c = jnp.int32(_CLASSES[-1])
     for cl in reversed(_CLASSES[:-1]):
         c = jnp.where(nun <= cl, jnp.int32(cl), c)
     return c
 
 
+def _epoch_run_tables(packed_s, next_end, J):
+    """Vectorized run-table construction for one epoch (the XLA hoist).
+
+    A run is a maximal stretch of equal anchor cells within one TILE-lane
+    kernel tile. Everything the kernel's scalar core needs to steer DMAs
+    and fold loops — run start lanes, DMA size classes, arena offsets,
+    the window partition, per-lane-block run ranges — is a pure function
+    of the sorted keys, so it is built here with one batched
+    (n_tiles, TILE) sort plus cumsums instead of the round-3 in-kernel
+    scalar fill walk (which alone cost 11-12 ms/step at 524k spins).
+
+    Windowing is QUANTIZED rather than greedy so a plain cumsum suffices:
+    run k joins window ``cum_excl(k) // CAP`` where ``cum_excl`` is the
+    exclusive cumsum of DMA size classes and ``CAP = ARENA_U - CH_MAX``.
+    A window's runs then start below CAP and extend at most CH_MAX slots
+    past it, so every window fits the arena; window ids are nondecreasing
+    in steps of <= 1 (each class <= CH_MAX <= CAP), which the kernel's
+    window loop relies on.
+
+    Returns flat int32 arrays ``(runlane, runoff, runwin)`` of shape
+    (n,) — per tile, entries k < R are valid — and ``meta`` of shape
+    (n_tiles, 16) packing [R, rq0 x NBLK, rq1 x NBLK, 0 pad] where
+    [rq0[q], rq1[q]) is the contiguous range of runs overlapping lane
+    block q (runs are lane-ordered).
+    """
+    n = packed_s.shape[0]
+    n_tiles = n // TILE
+    mask6 = jnp.int32((1 << BITS) - 1)
+    g = jnp.arange(n, dtype=jnp.int32)
+    lane = g & jnp.int32(TILE - 1)
+    tile_base = g - lane
+    prev_end = jnp.concatenate((jnp.zeros((1,), jnp.int32), next_end[:-1]))
+    is_start = (lane == 0) | (prev_end == g)
+    nun = lax.shift_right_logical(
+        packed_s, jnp.int32((J - 1) * BITS)
+    ) & mask6
+    is_run = is_start & (nun > 0)
+    cls = jnp.where(is_run, _size_class(nun), 0)
+    end_l = jnp.minimum(next_end - tile_base, jnp.int32(TILE))
+
+    def t2(a):
+        return a.reshape(n_tiles, TILE)
+
+    # Compact each tile's runs to the front, preserving lane order
+    # (lax.sort is stable; runs carry unique lane keys).
+    key = jnp.where(is_run, lane, jnp.int32(TILE))
+    _, runlane, runcls, runend = lax.sort(
+        (t2(key), t2(lane), t2(cls), t2(end_l)), dimension=1, num_keys=1
+    )
+    R = jnp.sum(t2(is_run).astype(jnp.int32), axis=1)
+    cum_excl = jnp.cumsum(runcls, axis=1) - runcls
+    win = cum_excl // jnp.int32(CAP)
+    off = cum_excl - win * jnp.int32(CAP)
+    k_iota = lax.broadcasted_iota(jnp.int32, (n_tiles, TILE), 1)
+    valid = k_iota < R[:, None]
+    cols = [R]
+    for q in range(NBLK):
+        cols.append(jnp.sum(
+            (valid & (runend <= q * BLK)).astype(jnp.int32), axis=1
+        ))
+    for q in range(NBLK):
+        cols.append(jnp.sum(
+            (valid & (runlane < (q + 1) * BLK)).astype(jnp.int32), axis=1
+        ))
+    meta = jnp.stack(cols + [jnp.zeros_like(R)] * (16 - len(cols)), axis=1)
+    return runlane.reshape(n), off.reshape(n), win.reshape(n), meta
+
+
 def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
+            runlane_ref, runoff_ref, runwin_ref, meta_ref,
             pi_ref, pf_ref, pos_ref, dirs_ref, idrow_ref, table_ref,
-            out_ref, arena, sem, st, act, ubuf, crs,
-            roffs, rpcks, rsrcs, rlane, rcnt, rq0s, rq1s, blkact, *,
-            J, ablate=0, runtime_level=True):
+            out_ref, arena, sem, st, act, ubuf, crs, blkact, ucnt, *,
+            J, ablate=0, runtime_level=True, count_units=False):
     """One tile: J time steps, all bounces, windowed over the arena.
 
     Table rows are stored in CELL-LOCAL coordinates (the pack subtracts
@@ -124,8 +203,14 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
     run), which bounds the f32 cancellation error of the feature dot
     products to ~eps_f32 * (cell width + dilation) — independent of the
     tile or voxel extent — and needs no per-window table adjustment.
-    Because coordinate frames now differ per run, folds mask lanes
-    outside the run's [start, end) range instead of union-folding.
+    Because coordinate frames differ per run, folds mask lanes outside
+    the run's [start, end) range instead of union-folding.
+
+    The run table is an INPUT (fused._epoch_run_tables): ``runlane_ref``
+    holds run k's start lane, ``runoff_ref`` its arena offset,
+    ``runwin_ref`` its window id, and ``meta_ref`` packs [R, rq0 x NBLK,
+    rq1 x NBLK] (run count + per-lane-block run ranges). The kernel's
+    scalar core only starts/waits DMAs and steers the pass loops.
     """
     seed = pi_ref[0, 0]
     max_iter = pi_ref[0, 1]
@@ -142,9 +227,7 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
     max_iter_f = max_iter.astype(jnp.float32)
     lanes = lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
     sub8 = lax.broadcasted_iota(jnp.int32, (8, BLK), 0)
-
-    def run_end_at(i):
-        return jnp.minimum(nexts_ref[0, i] - tile_base, TILE)
+    R = meta_ref[0, 0]
 
     def class_op(src, off, nun, start_not_wait):
         """Start (or wait for) a row's static-size-class DMA."""
@@ -163,73 +246,10 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
                 else:
                     cp.wait()
 
-    def fill_walk(w_start):
-        """Walk runs from lane ``w_start`` while their size classes fit the
-        arena: start each non-empty run's DMA and record the window's run
-        table (arena offset, packed counts, table source) in SMEM plus the
-        per-lane-block run index ranges — the bounce passes then iterate
-        the flat table instead of re-walking the run structure. Returns
-        (w_end, occupancy in units)."""
-
-        def cond(state):
-            i, off, k, stop = state
-            return (i < TILE) & (~stop)
-
-        def body(state):
-            i, off, k, _ = state
-            pck = packed_ref[0, i]
-            nun = lax.shift_right_logical(pck, sh_last) & mask6
-            cls = jnp.where(nun == 0, 0, _size_class(nun))
-            stop = off + cls > jnp.int32(ARENA_U)
-            rec = (~stop) & (nun > 0)
-            end = run_end_at(i)
-
-            @pl.when(rec)
-            def _():
-                roffs[0, k] = off
-                rpcks[0, k] = pck
-                rsrcs[0, k] = starts_ref[0, i]
-                rlane[0, k] = i
-                class_op(starts_ref[0, i], off, nun, True)
-                # Runs are lane-ordered, so each lane block's runs are a
-                # contiguous [rq0s, rq1s) range of the run table.
-                for q in range(NBLK):
-                    ov = (i < jnp.int32((q + 1) * BLK)) & (
-                        end > jnp.int32(q * BLK)
-                    )
-
-                    @pl.when(ov & (rq0s[0, q] > k))
-                    def _():
-                        rq0s[0, q] = k
-
-                    @pl.when(ov)
-                    def _():
-                        rq1s[0, q] = k + 1
-
-            nxt = jnp.where(stop, i, end)
-            return (
-                nxt,
-                jnp.where(stop, off, off + cls),
-                k + rec.astype(jnp.int32),
-                stop,
-            )
-
-        for q in range(NBLK):
-            rq0s[0, q] = jnp.int32(TILE)
-            rq1s[0, q] = jnp.int32(0)
-        i, off, k, _ = lax.while_loop(
-            cond, body, (w_start, jnp.int32(0), jnp.int32(0), False)
-        )
-        rcnt[0, 0] = k
-        return i, off
-
-    def wait_runs():
-        def w(kk, _):
-            nun = lax.shift_right_logical(rpcks[0, kk], sh_last) & mask6
-            class_op(rsrcs[0, kk], roffs[0, kk], nun, False)
-            return 0
-
-        lax.fori_loop(0, rcnt[0, 0], w, 0)
+    def run_dma(k, start_not_wait):
+        i0 = runlane_ref[0, k]
+        nun = lax.shift_right_logical(packed_ref[0, i0], sh_last) & mask6
+        class_op(starts_ref[0, i0], runoff_ref[0, k], nun, start_not_wait)
 
     def _fold_unit(u, inrun, xb, yb, zb, dxb, dyb, dzb, cxb, cyb, czb, acc):
         """Fold one 64-triangle unit (8 sublane-groups) against a 128-lane
@@ -271,12 +291,12 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
             n2 = jnp.where(better, tri[2], n2)
         return bd, n0, n1, n2
 
-    def _pass(s, it, parts=3):
+    def _pass(s, it, k0, k1, parts=3):
         """One bounce pass: fold each lane block's runs' step-s unit
         prefix, reduce per block, resolve the whole tile on rows.
 
         ``s`` is a static epoch-step index (selects the prefix bit field);
-        runs come from the SMEM run table recorded by the fill walk.
+        runs [k0, k1) of the precomputed run table are this window's.
         ``parts`` (static, debug): 1 = fold only, 2 = + reduce, 3 = full.
 
         State rows are sliced from ONE full (8, TILE) register load of
@@ -307,17 +327,25 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
 
             # Active gating: pass 0 always folds; later passes skip blocks
             # whose spins all settled (the run range collapses to empty).
+            # Block q's runs are the window range clipped to the block's
+            # precomputed tile-wide run range [rq0, rq1) (meta layout).
             gate = (it == 0) | (blkact[0, q] > 0)
-            r_lo = jnp.where(gate, rq0s[0, q], jnp.int32(0))
-            r_hi = jnp.where(gate, rq1s[0, q], jnp.int32(0))
+            lo_q = jnp.maximum(k0, meta_ref[0, 1 + q])
+            hi_q = jnp.minimum(k1, meta_ref[0, 1 + NBLK + q])
+            r_lo = jnp.where(gate, lo_q, jnp.int32(0))
+            r_hi = jnp.where(gate, hi_q, jnp.int32(0))
+            if count_units:
+                ucnt[0, 1] = ucnt[0, 1] + (
+                    (gate & (r_hi > r_lo)).astype(jnp.int32)
+                )
 
             def per_run(kk, acc, xb=xb, yb=yb, zb=zb, dxb=dxb, dyb=dyb,
                         dzb=dzb, remb=remb, actb=actb, qbase=qbase):
-                off = roffs[0, kk]
+                off = runoff_ref[0, kk]
                 # Run frame: spins relative to the run's cell corner, and
                 # lanes outside [start, end) masked (their coordinates are
                 # in a different cell's frame — never valid geometry).
-                i0 = rlane[0, kk]
+                i0 = runlane_ref[0, kk]
                 c0 = cx_ref[0, i0]
                 c1 = cy_ref[0, i0]
                 c2 = cz_ref[0, i0]
@@ -344,11 +372,15 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
                     for l in range(s):
                         lvl = lvl + (dil_vals[l] < req).astype(jnp.int32)
                     cnt = lax.shift_right_logical(
-                        rpcks[0, kk], lvl * jnp.int32(BITS)
+                        packed_ref[0, i0], lvl * jnp.int32(BITS)
                     ) & mask6
                     cnt = jnp.where(m < 0, jnp.int32(0), cnt)
                 else:
-                    cnt = lax.shift_right_logical(rpcks[0, kk], sh_s) & mask6
+                    cnt = lax.shift_right_logical(
+                        packed_ref[0, i0], sh_s
+                    ) & mask6
+                if count_units:
+                    ucnt[0, 0] = ucnt[0, 0] + cnt
                 cxq = yq * dzb - zq * dyb
                 cyq = zq * dxb - xq * dzb
                 czq = xq * dyb - yq * dxb
@@ -455,14 +487,39 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
                 stf[:, q * BLK: (q + 1) * BLK]
             ).astype(jnp.int32)
 
-    def window(w_start):
-        # Fill the arena: issue all DMAs (recording the run table), then
-        # wait on each (the transfers overlap). Table rows are already in
-        # cell-local coordinates — no per-window adjustment needed.
-        w_end, occ = fill_walk(w_start)
-        wait_runs()
+    def window(state):
+        # One arena window: runs [k0, k1) where k1 is the first run of the
+        # next window (runwin is nondecreasing in steps of <= 1, so window
+        # w's runs are exactly the contiguous range with runwin == w).
+        # Start every run's DMA, then wait on each (transfers overlap).
+        w_start, k0, w = state
+
+        def adv_cond(k):
+            ks = jnp.minimum(k, jnp.int32(TILE - 1))  # guard k == TILE read
+            return (k < R) & (runwin_ref[0, ks] == w)
+
+        def adv_body(k):
+            run_dma(k, True)
+            return k + 1
+
+        k1 = lax.while_loop(adv_cond, adv_body, k0)
+
+        def wait_one(k, _):
+            run_dma(k, False)
+            return 0
+
+        lax.fori_loop(k0, k1, wait_one, 0)
+
+        # Lane coverage: up to (but not including) the next window's first
+        # run's start lane — lanes of empty cells between runs are swept
+        # into the surrounding window (they step with no folds).
+        w_end = jnp.where(
+            k1 < R, runlane_ref[0, jnp.minimum(k1, jnp.int32(TILE - 1))],
+            jnp.int32(TILE),
+        )
+        nxt_state = (w_end, k1, w + 1)
         if ablate in (11, 12):  # walk/DMA only, no step loop
-            return w_end
+            return nxt_state
 
         wmask = (lanes >= w_start) & (lanes < w_end)
 
@@ -490,14 +547,14 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
                     return
 
                 if ablate in (4, 5):
-                    _pass(s, jnp.int32(0), parts=ablate - 3)
+                    _pass(s, jnp.int32(0), k0, k1, parts=ablate - 3)
                     return
-                _pass(s, jnp.int32(0))
+                _pass(s, jnp.int32(0), k0, k1)
                 if ablate == 3:
                     return
                 if ablate == 7:
                     # one forced extra pass, no data-dependent control
-                    _pass(s, jnp.int32(1))
+                    _pass(s, jnp.int32(1), k0, k1)
                     return
 
                 def cond(c):
@@ -505,7 +562,7 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
 
                 def body(c):
                     it, _ = c
-                    _pass(s, it)
+                    _pass(s, it, k0, k1)
                     n = blkact[0, 0]
                     for q in range(1, NBLK):
                         n = n + blkact[0, q]
@@ -540,7 +597,7 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
             out_ref[4 * s + 3: 4 * s + 4, :] = jnp.where(
                 wmask, aux_col, ov[4 * s + 3: 4 * s + 4]
             )
-        return w_end
+        return nxt_state
 
     # ----- main: init state, loop windows ----------------------------
     st[0:3] = pos_ref[...]
@@ -548,26 +605,53 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
     act[...] = jnp.zeros((1, TILE), jnp.float32)
     ubuf[...] = jnp.ones((1, TILE), jnp.float32)
     crs[...] = jnp.zeros((1, TILE), jnp.float32)
+    if count_units:
+        ucnt[0, 0] = jnp.int32(0)
+        ucnt[0, 1] = jnp.int32(0)
 
-    lax.while_loop(lambda w: w < TILE, window, jnp.int32(0))
+    lax.while_loop(
+        lambda s: s[0] < TILE, window,
+        (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+    )
+    if count_units:
+        # Diagnostic rows: folded units and gated block-passes this tile
+        # (same scalar broadcast across the row; the host reads lane 0).
+        out_ref[4 * J: 4 * J + 1, :] = jnp.full(
+            (1, TILE), 1.0, jnp.float32
+        ) * ucnt[0, 0].astype(jnp.float32)
+        out_ref[4 * J + 1: 4 * J + 2, :] = jnp.full(
+            (1, TILE), 1.0, jnp.float32
+        ) * ucnt[0, 1].astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("n_steps", "interpret"))
-def _launch(starts, packed, nexts, corner, params_i, params_f, pos, dirs,
-            ids, table, n_steps, interpret=False):
+@partial(jax.jit, static_argnames=("n_steps", "interpret", "ablate",
+                                   "runtime_level", "count_units"))
+def _launch(starts, packed, nexts, corner, runlane, runoff, runwin, meta,
+            params_i, params_f, pos, dirs, ids, table, n_steps,
+            interpret=False, ablate=0, runtime_level=True,
+            count_units=False):
     n_pad = pos.shape[1]
     n_tiles = n_pad // TILE
     J = n_steps
+    n_out = 4 * J + (2 if count_units else 0)
+    smem_row = pl.BlockSpec(
+        (1, TILE), lambda t: (0, t), memory_space=pltpu.SMEM
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.SMEM),
+            smem_row,  # starts
+            smem_row,  # packed
+            smem_row,  # nexts
+            smem_row,  # corner x
+            smem_row,  # corner y
+            smem_row,  # corner z
+            smem_row,  # run start lanes
+            smem_row,  # run arena offsets
+            smem_row,  # run window ids
+            pl.BlockSpec((1, 16), lambda t: (t, 0),
+                         memory_space=pltpu.SMEM),  # per-tile meta
             pl.BlockSpec((1, 4), lambda t: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 16), lambda t: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((3, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
@@ -578,7 +662,7 @@ def _launch(starts, packed, nexts, corner, params_i, params_f, pos, dirs,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (4 * J, TILE), lambda t: (0, t), memory_space=pltpu.VMEM
+            (n_out, TILE), lambda t: (0, t), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((ARENA_U, 8, 128), jnp.float32),
@@ -587,30 +671,26 @@ def _launch(starts, packed, nexts, corner, params_i, params_f, pos, dirs,
             pltpu.VMEM((1, TILE), jnp.float32),
             pltpu.VMEM((1, TILE), jnp.float32),
             pltpu.VMEM((1, TILE), jnp.float32),
-            pltpu.SMEM((1, TILE), jnp.int32),
-            pltpu.SMEM((1, TILE), jnp.int32),
-            pltpu.SMEM((1, TILE), jnp.int32),
-            pltpu.SMEM((1, TILE), jnp.int32),
-            pltpu.SMEM((1, 1), jnp.int32),
             pltpu.SMEM((1, NBLK), jnp.int32),
-            pltpu.SMEM((1, NBLK), jnp.int32),
-            pltpu.SMEM((1, NBLK), jnp.int32),
+            pltpu.SMEM((1, 2), jnp.int32),
         ],
     )
     return pl.pallas_call(
-        partial(_kernel, J=J, ablate=_DEBUG_ABLATE,
-                runtime_level=_RUNTIME_LEVEL),
+        partial(_kernel, J=J, ablate=ablate,
+                runtime_level=runtime_level, count_units=count_units),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((4 * J, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_out, n_pad), jnp.float32),
         interpret=interpret,
     )(starts[None, :], packed[None, :], nexts[None, :], corner[0][None, :],
-      corner[1][None, :], corner[2][None, :], params_i, params_f, pos,
+      corner[1][None, :], corner[2][None, :], runlane[None, :],
+      runoff[None, :], runwin[None, :], meta, params_i, params_f, pos,
       dirs, ids[None, :], table)
 
 
 def fused_epoch(spec, pos_s, dirs, ids_s, start_s, packed_s, next_end,
                 corner_s, t_base, n_valid_steps, seed32, epsilon, max_iter,
-                interpret=False):
+                interpret=False, ablate=0, runtime_level=True,
+                count_units=False):
     """Run one epoch (J steps) of mesh physics on epoch-sorted state.
 
     pos_s: (3, n) float32 positions wrapped into the home periodic image;
@@ -622,7 +702,9 @@ def fused_epoch(spec, pos_s, dirs, ids_s, start_s, packed_s, next_end,
     steps are no-ops).
 
     Returns (per-step positions (J, 3, n), iter_exc (n,) bool,
-    per-step membrane-transit counts (J, n) int32).
+    per-step membrane-transit counts (J, n) int32); with
+    ``count_units=True`` an extra (folded units, gated block-passes)
+    scalar pair is appended (streaming diagnostics, bench only).
     """
     J = dirs.shape[0]
     n = pos_s.shape[1]
@@ -663,13 +745,23 @@ def fused_epoch(spec, pos_s, dirs, ids_s, start_s, packed_s, next_end,
             jnp.zeros(6, jnp.float32),
         )
     )[None, :]
+    runlane, runoff, runwin, meta = _epoch_run_tables(packed_s, next_end, J)
     out = _launch(
-        start_s, packed_s, next_end, corner_s, params_i, params_f, pos_s,
-        dirs_in, ids_s, spec.table, n_steps=J, interpret=interpret,
+        start_s, packed_s, next_end, corner_s, runlane, runoff, runwin,
+        meta, params_i, params_f, pos_s, dirs_in, ids_s, spec.table,
+        n_steps=J, interpret=interpret, ablate=ablate,
+        runtime_level=runtime_level, count_units=count_units,
     )
-    steps = out.reshape(J, 4, n)
+    steps = out[:4 * J].reshape(J, 4, n)
     pos_steps = steps[:, 0:3, :]  # (J, 3, n)
     aux = steps[:, 3, :]  # 2 * transits + exc, exact small f32 ints
     cross_steps = jnp.floor(aux * 0.5).astype(jnp.int32)
     exc = jnp.any(aux - 2.0 * jnp.floor(aux * 0.5) > 0.5, axis=0)
+    if count_units:
+        per_tile = out[4 * J:4 * J + 2].reshape(2, n // TILE, TILE)[:, :, 0]
+        diag = (
+            jnp.sum(per_tile[0]).astype(jnp.int32),
+            jnp.sum(per_tile[1]).astype(jnp.int32),
+        )
+        return pos_steps, exc, cross_steps, diag
     return pos_steps, exc, cross_steps

@@ -44,6 +44,12 @@ from .substrates import _aabb_to_mesh  # noqa: F401  (reference API parity)
 
 __all__ = ["simulation", "add_noise_to_data"]
 
+# Streaming diagnostics of the last fused run with
+# engine.config.fused_count_units = True: [folded 64-triangle units,
+# gated block-passes], summed over every kernel tile/step/pass. Bench-only
+# instrumentation (single-device fused runs); see bench.py --stream.
+_STREAM_DIAG = [0, 0]
+
 
 # ---------------------------------------------------------------------------
 # Host-side initial-position samplers (NumPy, seeded via np.random.seed for
@@ -740,6 +746,12 @@ def simulation(
 
     seed32 = jnp.asarray(seed & 0x7FFFFFFF, jnp.int32)
 
+    count_units = bool(
+        getattr(engine_config, "fused_count_units", False)
+    ) and mesh is None and mesh_engine == "fused"
+    if count_units:
+        _STREAM_DIAG[0] = _STREAM_DIAG[1] = 0
+
     t0 = 0
     while t0 < n_t:
         t1 = min(t0 + window, n_t)
@@ -761,6 +773,8 @@ def simulation(
                     interpret=engine_config.pallas_interpret,
                     track=track,
                     compartments=compartments,
+                    ablate=engine_config.fused_ablate,
+                    runtime_level=engine_config.fused_runtime_level,
                 )
             else:
                 out = fused.run_window_fused(
@@ -776,7 +790,15 @@ def simulation(
                     interpret=engine_config.pallas_interpret,
                     track=track,
                     compartments=compartments,
+                    ablate=engine_config.fused_ablate,
+                    runtime_level=engine_config.fused_runtime_level,
+                    count_units=count_units,
                 )
+            if count_units:
+                diag = out[-1]
+                out = out[:-1]
+                _STREAM_DIAG[0] += int(diag[0])
+                _STREAM_DIAG[1] += int(diag[1])
             if track:
                 (positions, phases, iter_exc), collected, compartments = out
             else:

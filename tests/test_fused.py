@@ -13,6 +13,7 @@ import numpy.testing as npt
 import pytest
 from scipy.stats import kstest
 
+import jax
 import jax.numpy as jnp
 
 from disimpy_tpu import gradients, meshes, simulations, substrates
@@ -198,6 +199,88 @@ def test_pack_fused_coverage(packed_sphere):
 
 
 # ---------------------------------------------------------------------------
+# XLA run-table construction (the round-4 hoist)
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_run_tables_invariants():
+    """The vectorized run table must cover every non-empty run exactly
+    once, in lane order, with arena-safe offsets, window ids that are
+    nondecreasing in steps of <= 1, and per-block ranges that exactly
+    bracket the runs overlapping each 128-lane block."""
+    from disimpy_tpu.engine import pallas_fused as pf
+
+    TILE, BLK, NBLK = pf.TILE, pf.BLK, pf.NBLK
+    J = 4
+    rng = np.random.RandomState(3)
+    n_tiles = 3
+    n = n_tiles * TILE
+    # Random run structure: split each tile into runs of random lengths.
+    cells = np.empty(n, np.int64)
+    packed = np.empty(n, np.int64)
+    nxt = np.empty(n, np.int64)
+    for t in range(n_tiles):
+        pos = t * TILE
+        cid = 0
+        while pos < (t + 1) * TILE:
+            ln = int(rng.randint(1, 90))
+            end = min(pos + ln, (t + 1) * TILE)
+            nun = int(rng.choice([0, 0, 1, 2, 3, 5, 9, 17, 31]))
+            pk = nun << (fused.BITS * (J - 1))
+            cells[pos:end] = cid
+            packed[pos:end] = pk
+            nxt[pos:end] = end
+            pos = end
+            cid += 1
+    runlane, runoff, runwin, meta = jax.tree_util.tree_map(
+        np.asarray,
+        pf._epoch_run_tables(
+            jnp.asarray(packed, jnp.int32), jnp.asarray(nxt, jnp.int32), J
+        ),
+    )
+    runlane = runlane.reshape(n_tiles, TILE)
+    runoff = runoff.reshape(n_tiles, TILE)
+    runwin = runwin.reshape(n_tiles, TILE)
+    mask = (1 << fused.BITS) - 1
+    for t in range(n_tiles):
+        base = t * TILE
+        R = int(meta[t, 0])
+        # Expected runs: non-empty-cell run starts within the tile.
+        exp = []
+        for l in range(TILE):
+            g = base + l
+            nun = (packed[g] >> (fused.BITS * (J - 1))) & mask
+            if (l == 0 or nxt[g - 1] == g) and nun > 0:
+                exp.append(l)
+        assert R == len(exp)
+        npt.assert_array_equal(runlane[t, :R], exp)
+        # Arena safety: every run's [off, off + class) fits, and runs in
+        # the same window never overlap.
+        occupied = {}
+        for k in range(R):
+            g = base + runlane[t, k]
+            nun = (packed[g] >> (fused.BITS * (J - 1))) & mask
+            cls = next(c for c in pf._CLASSES if c >= nun)
+            off, win = int(runoff[t, k]), int(runwin[t, k])
+            assert 0 <= off and off + cls <= pf.ARENA_U
+            for s in range(off, off + cls):
+                assert (win, s) not in occupied
+                occupied[(win, s)] = k
+            if k:
+                assert runwin[t, k] - runwin[t, k - 1] in (0, 1)
+            else:
+                assert win == 0
+        # Per-block ranges bracket exactly the overlapping runs.
+        for q in range(NBLK):
+            lo, hi = int(meta[t, 1 + q]), int(meta[t, 1 + NBLK + q])
+            for k in range(R):
+                l0 = int(runlane[t, k])
+                end = min(int(nxt[base + l0]) - base, TILE)
+                overlaps = l0 < (q + 1) * BLK and end > q * BLK
+                assert (lo <= k < hi) == overlaps, (t, q, k)
+
+
+# ---------------------------------------------------------------------------
 # End-to-end physics
 # ---------------------------------------------------------------------------
 
@@ -316,10 +399,9 @@ def test_runtime_level_selection_bit_identical():
     """Runtime dilation-level selection must be a pure work-saving: every
     triangle a segment can reach lies within (reach + margin) of the
     anchor box, so folding the selected prefix instead of the epoch step's
-    worst-case prefix yields bit-identical physics (pallas_fused
-    _RUNTIME_LEVEL note)."""
-    from disimpy_tpu.engine import pallas_fused
-
+    worst-case prefix yields bit-identical physics. The knob is a STATIC
+    jit argument (config.fused_runtime_level -> run_window_fused ->
+    _launch), so both variants compile and run fresh — no cache clearing."""
     n_s, n_t = 200, 20
     gradient = np.zeros((1, n_t, 3))
     gradient[:, 1:-1, 0] = 1e-3
@@ -330,25 +412,20 @@ def test_runtime_level_selection_bit_identical():
     )
 
     def run():
-        pallas_fused._launch.clear_cache()
-        fused.run_window_fused.clear_cache()
         return simulations.simulation(
             n_s, 2e-9, gradient, 2e-4, substrate, quiet=True, seed=9,
             final_pos=True,
         )
 
-    prev_level = pallas_fused._RUNTIME_LEVEL
     try:
         config.use_fused = True
         config.pallas_interpret = True
-        pallas_fused._RUNTIME_LEVEL = True
+        config.fused_runtime_level = True
         s_on, p_on = run()
-        pallas_fused._RUNTIME_LEVEL = False
+        config.fused_runtime_level = False
         s_off, p_off = run()
     finally:
-        pallas_fused._RUNTIME_LEVEL = prev_level
-        pallas_fused._launch.clear_cache()
-        fused.run_window_fused.clear_cache()
+        config.fused_runtime_level = True
         config.use_fused = None
         config.pallas_interpret = False
     npt.assert_array_equal(p_on, p_off)
