@@ -54,6 +54,13 @@ from .specs import _register
 # Per-step unit-count bit width and the maximum epoch length it allows.
 BITS = 6
 MAX_J = 5
+# Sub-step distance thresholds (step-length units) for the FINE runtime
+# ladder: bounce re-passes have remaining segments << 1 step, but the
+# coarse ladder's smallest prefix is the full 1-step dilation set. Rows
+# are stored distance-ordered within each cell (pack v10), so the count
+# of units covering each fine threshold is a valid fold prefix; 5 slots
+# of BITS bits pack into one extra int32 next to cell_packed.
+FINE_LADDER = (0.15, 0.3, 0.5, 0.7, 0.9)
 # Triangles per table unit: one (8, 128) record block — 8 sublane-groups
 # of 8 triangles, lane 16*g + j = feature j of triangle 8*g + r at
 # sublane r (the fold granularity of pallas_fused._fold_unit).
@@ -67,8 +74,8 @@ TABLE_BYTES_LIMIT = int(1.5e9)
 
 @partial(
     _register,
-    data_fields=["table", "cell_start", "cell_packed", "voxel_size",
-                 "sv_width", "perm_prob"],
+    data_fields=["table", "cell_start", "cell_packed", "cell_packed2",
+                 "voxel_size", "sv_width", "perm_prob"],
     meta_fields=["n_sv", "resort_every", "seed_salt", "eps_budget"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -93,6 +100,12 @@ class FusedMeshSpec:
     cell_packed : jnp.ndarray
         (n_cells,) int32: per-step unit counts, BITS bits per epoch step
         (step s count = (packed >> (BITS*s)) & (2**BITS - 1)).
+    cell_packed2 : jnp.ndarray
+        (n_cells,) int32: unit counts covering each FINE_LADDER distance
+        threshold, BITS bits per slot (same encoding). Legacy (pre-v10)
+        cached packs synthesize this as the replicated step-0 count,
+        which degrades the fine selection to the coarse behavior without
+        affecting physics.
     voxel_size, sv_width : jnp.ndarray
         (3,) voxel extent / cell width (step-length units).
     perm_prob : jnp.ndarray
@@ -115,6 +128,7 @@ class FusedMeshSpec:
     table: jnp.ndarray
     cell_start: jnp.ndarray
     cell_packed: jnp.ndarray
+    cell_packed2: jnp.ndarray
     voxel_size: jnp.ndarray
     sv_width: jnp.ndarray
     perm_prob: jnp.ndarray
@@ -260,36 +274,70 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
     from ..substrates import _triangle_box_overlap_batch
 
     n_hint_q = quantize_n_hint(n_hint)
+    legacy_path = None
     if cache_path is None:
         # Content-keyed disk cache: packing is a pure (and expensive)
         # function of the geometry, the step scale, and the epoch length —
         # a fresh process (e.g. the benchmark driver) reuses prior work.
-        h = hashlib.sha256()
-        h.update(np.ascontiguousarray(substrate.vertices).tobytes())
-        h.update(np.ascontiguousarray(substrate.faces).tobytes())
-        h.update(np.asarray(
-            [scale, resort_every, float(substrate.perm_prob),
-             float(substrate.periodic),
-             -1.0 if cell_steps is None else float(cell_steps),
-             float(bytes_limit), n_hint_q,
-             9.0]  # 9.0 = pack format version (cell-local row-form units)
-        ).tobytes())
+        # v10 = distance-ordered rows + FINE_LADDER counts; v9 entries are
+        # still loadable (fine counts synthesized, see FusedMeshSpec),
+        # which keeps hour-scale legacy packs (neuron meshes) usable.
+        def content_hash(version):
+            h = hashlib.sha256()
+            h.update(np.ascontiguousarray(substrate.vertices).tobytes())
+            h.update(np.ascontiguousarray(substrate.faces).tobytes())
+            h.update(np.asarray(
+                [scale, resort_every, float(substrate.perm_prob),
+                 float(substrate.periodic),
+                 -1.0 if cell_steps is None else float(cell_steps),
+                 float(bytes_limit), n_hint_q, version]
+            ).tobytes())
+            return h.hexdigest()[:24]
+
         cache_dir = os.path.join(
             os.path.expanduser("~"), ".cache", "disimpy_tpu"
         )
         try:
             os.makedirs(cache_dir, exist_ok=True)
             cache_path = os.path.join(
-                cache_dir, f"fused-{h.hexdigest()[:24]}.pkl"
+                cache_dir, f"fused-{content_hash(10.0)}.pkl"
+            )
+            legacy_path = os.path.join(
+                cache_dir, f"fused-{content_hash(9.0)}.pkl"
             )
         except OSError:
             cache_path = None
 
+    load_path = None
     if cache_path is not None and os.path.exists(cache_path):
-        with open(cache_path, "rb") as f:
+        load_path = cache_path
+    elif legacy_path is not None and os.path.exists(legacy_path):
+        load_path = legacy_path
+    if load_path is not None:
+        with open(load_path, "rb") as f:
             parts = pickle.load(f)
+        if parts.get("failed"):
+            # Cached exhaustive-search failure: the (geometry, scale, J)
+            # combination fits no fused configuration. Re-searching costs
+            # tens of minutes of host SAT work (e.g. the neuron mesh at
+            # step lengths comparable to its features), so the negative
+            # result is cached too.
+            raise ValueError(
+                "fused mesh table does not fit the chunk/memory budgets "
+                "for any (epoch, cell width) configuration (cached result)"
+            )
+        arrays = dict(parts["arrays"])
+        if "cell_packed2" not in arrays:
+            # Legacy v9 pack: rows are level-ordered but not distance-
+            # ordered, so the only valid prefix for every fine threshold
+            # is the full step-0 prefix — replicate it (coarse behavior).
+            c0 = np.asarray(arrays["cell_packed"]) & ((1 << BITS) - 1)
+            p2 = np.zeros_like(c0)
+            for k in range(len(FINE_LADDER)):
+                p2 = p2 | (c0 << (BITS * k))
+            arrays["cell_packed2"] = p2.astype(np.int32)
         return FusedMeshSpec(
-            **{k: jnp.asarray(v) for k, v in parts["arrays"].items()},
+            **{k: jnp.asarray(v) for k, v in arrays.items()},
             **parts["meta"],
         )
 
@@ -346,7 +394,7 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
             )
             if built is None:  # a per-cell chunk count overflowed
                 continue
-            table, cell_start, cell_packed = built
+            table, cell_start, cell_packed, _ = built
             if table.nbytes > bytes_limit:
                 continue
             # Kernel cost model (ns per spin-step, row-form kernel): a run
@@ -378,13 +426,14 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
                 if worsened >= 1:
                     break
         if best is not None:
-            _, _, (table, cell_start, cell_packed), n_sv_t = best
+            _, _, (table, cell_start, cell_packed, cell_packed2), n_sv_t = best
             if cache_path is not None:
                 parts = {
                     "arrays": {
                         "table": table,
                         "cell_start": cell_start,
                         "cell_packed": cell_packed,
+                        "cell_packed2": cell_packed2,
                         "voxel_size": voxel_size.astype(np.float32),
                         "sv_width": (
                             voxel_size / np.array(n_sv_t)
@@ -404,6 +453,7 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
                 table=jnp.asarray(table),
                 cell_start=jnp.asarray(cell_start),
                 cell_packed=jnp.asarray(cell_packed),
+                cell_packed2=jnp.asarray(cell_packed2),
                 voxel_size=jnp.asarray(voxel_size, jnp.float32),
                 sv_width=jnp.asarray(
                     voxel_size / np.array(n_sv_t), jnp.float32
@@ -414,6 +464,9 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
                 seed_salt=int(seed_salt),
                 eps_budget=float(eps_budget),
             )
+    if cache_path is not None:
+        with open(cache_path, "wb") as f:
+            pickle.dump({"failed": True}, f)
     raise ValueError(
         "fused mesh table does not fit the chunk/memory budgets for any "
         "(epoch, cell width) configuration"
@@ -464,7 +517,8 @@ def _build_table(tri, aabb_min, aabb_max, n_sv, sv_width, voxel_size, dil,
     n_cells = int(np.prod(n_sv))
     if len(tri_i) == 0:
         table = np.zeros((1, 8, 128), np.float32)
-        return table, np.zeros(n_cells, np.int32), np.zeros(n_cells, np.int32)
+        z = np.zeros(n_cells, np.int32)
+        return table, z, z.copy(), z.copy()
 
     # Membership: exact SAT against the largest dilated cell box (one
     # pass). Level (which epoch step first needs the triangle): from the
@@ -495,9 +549,14 @@ def _build_table(tri, aabb_min, aabb_max, n_sv, sv_width, voxel_size, dil,
     level = np.searchsorted(np.asarray(dil), dist_lb, side="left")
     level = np.minimum(level, J - 1).astype(np.int32)
 
-    # Group by (cell, level): row order inside a cell is nearest-first.
-    order = np.lexsort((level, cell_i))
+    # Rows inside a cell are DISTANCE-ordered (nearest-first). Sorting by
+    # the exact dist_lb (a refinement of sorting by level, since level is
+    # monotone in dist_lb) makes the unit count covering ANY distance
+    # threshold a valid fold prefix — the step ladder and the sub-step
+    # FINE_LADDER both index prefixes of the same stream.
+    order = np.lexsort((dist_lb, cell_i))
     cell_i, level, tri_shifted = cell_i[order], level[order], tri_shifted[order]
+    dist_lb = dist_lb[order]
     per_cell = np.bincount(cell_i, minlength=n_cells)
 
     # Per-cell, per-step unit counts (UNIT_TRIS triangles per unit).
@@ -513,6 +572,12 @@ def _build_table(tri, aabb_min, aabb_max, n_sv, sv_width, voxel_size, dil,
     packed = np.zeros(n_cells, np.int64)
     for s in range(J):
         packed |= counts[:, s] << (BITS * s)
+    # Fine (sub-step) prefix counts: units covering each FINE_LADDER
+    # distance; always a subset of the step-0 prefix (dist < dil[0]).
+    packed2 = np.zeros(n_cells, np.int64)
+    for k, fk in enumerate(FINE_LADDER):
+        c = np.bincount(cell_i[dist_lb <= fk], minlength=n_cells)
+        packed2 |= (-(-c // UNIT_TRIS)) << (BITS * k)
 
     n_units_cell = counts[:, J - 1]
     cell_start = np.concatenate(([0], np.cumsum(n_units_cell)[:-1]))
@@ -561,7 +626,8 @@ def _build_table(tri, aabb_min, aabb_max, n_sv, sv_width, voxel_size, dil,
     table = np.concatenate(
         (table, np.zeros((CH_MAX, 8, 128), np.float32)), axis=0
     )
-    return table, cell_start.astype(np.int32), packed.astype(np.int32)
+    return (table, cell_start.astype(np.int32), packed.astype(np.int32),
+            packed2.astype(np.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -577,7 +643,8 @@ def _cell_keys(spec, positions):
     wrapped = base - shift * n_sv[:, None]
     cell = (wrapped[0] * spec.n_sv[1] + wrapped[1]) * spec.n_sv[2] + wrapped[2]
     shiftvox = shift.astype(positions.dtype) * spec.voxel_size[:, None]
-    return cell, spec.cell_start[cell], spec.cell_packed[cell], shiftvox
+    return (cell, spec.cell_start[cell], spec.cell_packed[cell],
+            spec.cell_packed2[cell], shiftvox)
 
 
 def _run_ends(keys):
@@ -674,13 +741,14 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
         e_idx, g_e = xs
         t_base = t0_val + e_idx * J
 
-        cell, start, packed, shiftvox = _cell_keys(spec, positions)
+        cell, start, packed, packed2, shiftvox = _cell_keys(spec, positions)
         shifted = positions - shiftvox
         ops = lax.sort(
             (
                 cell,
                 start,
                 packed,
+                packed2,
                 shifted[0],
                 shifted[1],
                 shifted[2],
@@ -692,12 +760,12 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
             + ((cr2, intra) if track else ()),
             num_keys=1,
         )
-        cell_s, start_s, packed_s = ops[0], ops[1], ops[2]
-        pos_s = jnp.stack(ops[3:6])
-        shiftvox_s = jnp.stack(ops[6:9])
-        idexc_s = ops[9]
+        cell_s, start_s, packed_s, packed2_s = ops[0], ops[1], ops[2], ops[3]
+        pos_s = jnp.stack(ops[4:7])
+        shiftvox_s = jnp.stack(ops[7:10])
+        idexc_s = ops[10]
         if track:
-            cr2, intra = ops[10], ops[11]
+            cr2, intra = ops[11], ops[12]
         next_end = _run_ends(cell_s)
         ids_s = idexc_s >> 1
         # Anchor-cell corners (the table rows' coordinate frame), from the
@@ -721,10 +789,10 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
         # One kernel launch resolves all J steps' bounces (pallas_fused).
         n_valid_steps = jnp.minimum(t0_val + n_t - t_base, J)
         eout = pallas_fused.fused_epoch(
-            spec, pos_s, dirs, ids_s, start_s, packed_s, next_end,
-            corner_s, t_base, n_valid_steps, seed_k, epsilon, max_iter,
-            interpret=interpret, ablate=ablate, runtime_level=runtime_level,
-            count_units=count_units,
+            spec, pos_s, dirs, ids_s, start_s, packed_s, packed2_s,
+            next_end, corner_s, t_base, n_valid_steps, seed_k, epsilon,
+            max_iter, interpret=interpret, ablate=ablate,
+            runtime_level=runtime_level, count_units=count_units,
         )
         pos_steps, exc_bits, cross_steps = eout[:3]
         if count_units:

@@ -190,8 +190,8 @@ def _epoch_run_tables(packed_s, next_end, J):
     return runlane.reshape(n), off.reshape(n), win.reshape(n), meta
 
 
-def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
-            runlane_ref, runoff_ref, runwin_ref, meta_ref,
+def _kernel(starts_ref, packed_ref, packed2_ref, nexts_ref, cx_ref, cy_ref,
+            cz_ref, runlane_ref, runoff_ref, runwin_ref, meta_ref,
             pi_ref, pf_ref, pos_ref, dirs_ref, idrow_ref, table_ref,
             out_ref, arena, sem, st, act, ubuf, crs, blkact, ucnt, *,
             J, ablate=0, runtime_level=True, count_units=False):
@@ -218,9 +218,13 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
     n_valid = pi_ref[0, 3]
     eps = pf_ref[0, 0]
     perm = pf_ref[0, 1]
-    # Cell widths and the epoch's dilation ladder (runtime level selection).
+    # Cell widths and the runtime-selection ladders: sub-step FINE
+    # thresholds (bounce re-passes have rem << 1 step) then the epoch's
+    # dilation ladder. Both must match the pack (prefix-count encodings).
     wcell = (pf_ref[0, 2], pf_ref[0, 3], pf_ref[0, 4])
     dil_vals = [pf_ref[0, 5 + l] for l in range(J)]
+    NF = 5
+    fine_vals = [pf_ref[0, 10 + k] for k in range(NF)]
     tile_base = pl.program_id(0) * TILE
     mask6 = jnp.int32((1 << BITS) - 1)
     sh_last = jnp.int32((J - 1) * BITS)
@@ -357,9 +361,11 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
                 if runtime_level:
                     # Reach of this run's active spins this pass: distance
                     # to the anchor-cell box plus the remaining segment.
-                    # Pick the smallest ladder prefix covering it (see the
-                    # _RUNTIME_LEVEL note); -inf sentinel when the run has
-                    # no active lane -> fold nothing at all.
+                    # Pick the smallest ladder prefix covering it across
+                    # BOTH ladders — the sub-step FINE thresholds (counts
+                    # in packed2) then the dilation steps (counts in
+                    # packed); -inf sentinel when the run has no active
+                    # lane -> fold nothing at all.
                     ex = jnp.maximum(jnp.maximum(-xq, xq - wcell[0]), 0.0)
                     ey = jnp.maximum(jnp.maximum(-yq, yq - wcell[1]), 0.0)
                     ez = jnp.maximum(jnp.maximum(-zq, zq - wcell[2]), 0.0)
@@ -369,11 +375,23 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
                     )
                     req = m + _REQ_MARGIN
                     lvl = jnp.int32(0)
+                    for fv in fine_vals:
+                        lvl = lvl + (fv < req).astype(jnp.int32)
                     for l in range(s):
                         lvl = lvl + (dil_vals[l] < req).astype(jnp.int32)
-                    cnt = lax.shift_right_logical(
-                        packed_ref[0, i0], lvl * jnp.int32(BITS)
+                    sh_f = jnp.minimum(lvl, jnp.int32(NF - 1)) * jnp.int32(
+                        BITS
+                    )
+                    sh_c = jnp.maximum(lvl - jnp.int32(NF), 0) * jnp.int32(
+                        BITS
+                    )
+                    cnt_f = lax.shift_right_logical(
+                        packed2_ref[0, i0], sh_f
                     ) & mask6
+                    cnt_c = lax.shift_right_logical(
+                        packed_ref[0, i0], sh_c
+                    ) & mask6
+                    cnt = jnp.where(lvl < NF, cnt_f, cnt_c)
                     cnt = jnp.where(m < 0, jnp.int32(0), cnt)
                 else:
                     cnt = lax.shift_right_logical(
@@ -626,9 +644,9 @@ def _kernel(starts_ref, packed_ref, nexts_ref, cx_ref, cy_ref, cz_ref,
 
 @partial(jax.jit, static_argnames=("n_steps", "interpret", "ablate",
                                    "runtime_level", "count_units"))
-def _launch(starts, packed, nexts, corner, runlane, runoff, runwin, meta,
-            params_i, params_f, pos, dirs, ids, table, n_steps,
-            interpret=False, ablate=0, runtime_level=True,
+def _launch(starts, packed, packed2, nexts, corner, runlane, runoff,
+            runwin, meta, params_i, params_f, pos, dirs, ids, table,
+            n_steps, interpret=False, ablate=0, runtime_level=True,
             count_units=False):
     n_pad = pos.shape[1]
     n_tiles = n_pad // TILE
@@ -643,6 +661,7 @@ def _launch(starts, packed, nexts, corner, runlane, runoff, runwin, meta,
         in_specs=[
             smem_row,  # starts
             smem_row,  # packed
+            smem_row,  # packed2 (fine-ladder prefix counts)
             smem_row,  # nexts
             smem_row,  # corner x
             smem_row,  # corner y
@@ -681,15 +700,15 @@ def _launch(starts, packed, nexts, corner, runlane, runoff, runwin, meta,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out, n_pad), jnp.float32),
         interpret=interpret,
-    )(starts[None, :], packed[None, :], nexts[None, :], corner[0][None, :],
-      corner[1][None, :], corner[2][None, :], runlane[None, :],
-      runoff[None, :], runwin[None, :], meta, params_i, params_f, pos,
-      dirs, ids[None, :], table)
+    )(starts[None, :], packed[None, :], packed2[None, :], nexts[None, :],
+      corner[0][None, :], corner[1][None, :], corner[2][None, :],
+      runlane[None, :], runoff[None, :], runwin[None, :], meta, params_i,
+      params_f, pos, dirs, ids[None, :], table)
 
 
-def fused_epoch(spec, pos_s, dirs, ids_s, start_s, packed_s, next_end,
-                corner_s, t_base, n_valid_steps, seed32, epsilon, max_iter,
-                interpret=False, ablate=0, runtime_level=True,
+def fused_epoch(spec, pos_s, dirs, ids_s, start_s, packed_s, packed2_s,
+                next_end, corner_s, t_base, n_valid_steps, seed32, epsilon,
+                max_iter, interpret=False, ablate=0, runtime_level=True,
                 count_units=False):
     """Run one epoch (J steps) of mesh physics on epoch-sorted state.
 
@@ -724,12 +743,13 @@ def fused_epoch(spec, pos_s, dirs, ids_s, start_s, packed_s, next_end,
         )
     )[None, :]
     # params_f layout: [eps, perm, cell widths (3), dilation ladder (5,
-    # zero-padded past J), pad to 16]. The ladder must be the exact one
-    # the table was packed with (same eps margin) — runtime level
-    # selection compares measured reach against it.
-    from .fused import _dilations, EPS_BOUNCES, MAX_J
+    # zero-padded past J), FINE_LADDER (5), pad to 16]. The ladder must be
+    # the exact one the table was packed with (same eps margin) — runtime
+    # level selection compares measured reach against it.
+    from .fused import _dilations, EPS_BOUNCES, FINE_LADDER, MAX_J
 
     assert J <= MAX_J <= 5, "params_f reserves 5 ladder slots"
+    assert len(FINE_LADDER) == 5, "params_f reserves 5 fine slots"
     dil = _dilations(J, eps_margin=EPS_BOUNCES * spec.eps_budget)
     dil_pad = jnp.asarray(dil + [0.0] * (5 - J), jnp.float32)
     params_f = jnp.concatenate(
@@ -742,13 +762,14 @@ def fused_epoch(spec, pos_s, dirs, ids_s, start_s, packed_s, next_end,
             ),
             spec.sv_width.astype(jnp.float32),
             dil_pad,
-            jnp.zeros(6, jnp.float32),
+            jnp.asarray(FINE_LADDER, jnp.float32),
+            jnp.zeros(1, jnp.float32),
         )
     )[None, :]
     runlane, runoff, runwin, meta = _epoch_run_tables(packed_s, next_end, J)
     out = _launch(
-        start_s, packed_s, next_end, corner_s, runlane, runoff, runwin,
-        meta, params_i, params_f, pos_s, dirs_in, ids_s, spec.table,
+        start_s, packed_s, packed2_s, next_end, corner_s, runlane, runoff,
+        runwin, meta, params_i, params_f, pos_s, dirs_in, ids_s, spec.table,
         n_steps=J, interpret=interpret, ablate=ablate,
         runtime_level=runtime_level, count_units=count_units,
     )

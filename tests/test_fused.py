@@ -104,6 +104,15 @@ def test_pack_fused_counts_monotone(packed_sphere):
         c = (packed >> (fused.BITS * s)) & mask
         assert np.all(c >= prev)
         prev = c
+    # Fine sub-step prefix counts: nondecreasing in the threshold and
+    # never exceeding the step-0 prefix they subset.
+    packed2 = np.asarray(spec.cell_packed2)
+    c0 = packed & mask
+    prev = np.zeros_like(packed2)
+    for k in range(len(fused.FINE_LADDER)):
+        c = (packed2 >> (fused.BITS * k)) & mask
+        assert np.all(c >= prev) and np.all(c <= c0)
+        prev = c
 
 
 def _triangle_box_distance(tri, lo, hi, n_grid=120):
