@@ -186,8 +186,13 @@ def _epoch_run_tables(packed_s, next_end, J):
         cols.append(jnp.sum(
             (valid & (runlane < (q + 1) * BLK)).astype(jnp.int32), axis=1
         ))
-    meta = jnp.stack(cols + [jnp.zeros_like(R)] * (16 - len(cols)), axis=1)
-    return runlane.reshape(n), off.reshape(n), win.reshape(n), meta
+    # Meta rides a fourth (1, TILE)-shaped SMEM row (Pallas SMEM blocks
+    # must span the array's leading dim): lane j of tile t holds meta
+    # column j, lanes >= 2*NBLK + 1 are padding.
+    meta = jnp.stack(cols, axis=1)
+    meta_row = jnp.pad(meta, ((0, 0), (0, TILE - meta.shape[1])))
+    return (runlane.reshape(n), off.reshape(n), win.reshape(n),
+            meta_row.reshape(n))
 
 
 def _kernel(starts_ref, packed_ref, packed2_ref, nexts_ref, cx_ref, cy_ref,
@@ -669,8 +674,7 @@ def _launch(starts, packed, packed2, nexts, corner, runlane, runoff,
             smem_row,  # run start lanes
             smem_row,  # run arena offsets
             smem_row,  # run window ids
-            pl.BlockSpec((1, 16), lambda t: (t, 0),
-                         memory_space=pltpu.SMEM),  # per-tile meta
+            smem_row,  # per-tile meta [R, rq0 x NBLK, rq1 x NBLK, pad]
             pl.BlockSpec((1, 4), lambda t: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 16), lambda t: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((3, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
@@ -702,8 +706,8 @@ def _launch(starts, packed, packed2, nexts, corner, runlane, runoff,
         interpret=interpret,
     )(starts[None, :], packed[None, :], packed2[None, :], nexts[None, :],
       corner[0][None, :], corner[1][None, :], corner[2][None, :],
-      runlane[None, :], runoff[None, :], runwin[None, :], meta, params_i,
-      params_f, pos, dirs, ids[None, :], table)
+      runlane[None, :], runoff[None, :], runwin[None, :], meta[None, :],
+      params_i, params_f, pos, dirs, ids[None, :], table)
 
 
 def fused_epoch(spec, pos_s, dirs, ids_s, start_s, packed_s, packed2_s,

@@ -250,6 +250,7 @@ def test_epoch_run_tables_invariants():
     runlane = runlane.reshape(n_tiles, TILE)
     runoff = runoff.reshape(n_tiles, TILE)
     runwin = runwin.reshape(n_tiles, TILE)
+    meta = meta.reshape(n_tiles, TILE)
     mask = (1 << fused.BITS) - 1
     for t in range(n_tiles):
         base = t * TILE
