@@ -39,6 +39,19 @@ fused_cell_steps = None
 # only).
 fused_ablate = 0
 fused_runtime_level = True
+# Arena fill strategy: "contig" (default) fetches each window's rows —
+# one contiguous HBM span, since spins are sorted by cell id and table
+# rows are stored in cell order — with a SINGLE static full-arena DMA;
+# "runs" issues one size-class DMA per run (scalar dispatch walk, ~13
+# ms/step at 524k spins — fallback for very sparse spin occupancy where
+# a contiguous window would span many times the arena).
+fused_dma_mode = "contig"
+# Units folded per fold-loop iteration (1, 2 or 4). Mosaic loop iterations
+# cost ~0.25 us of fixed overhead; unrolling amortizes it over several
+# 64-triangle unit folds. Odd tails re-fold the run's last unit (the
+# min-accumulators make duplicate folds idempotent — bit-identical
+# physics), so no masking is needed.
+fused_fold_unroll = 1
 # When True (single-device fused runs only), the kernel counts folded
 # 64-triangle units and gated block-passes; the driver accumulates them in
 # simulations._STREAM_DIAG. Costs one extra kernel variant compile.

@@ -69,7 +69,22 @@ UNIT_TRIS = 64
 # needing more fall through to a coarser epoch / finer grid (or, at the
 # driver level, to the classic path).
 CH_MAX = 32
+# Zero tail appended to the table at FusedMeshSpec construction: must
+# absorb the kernel's worst-case over-read — a full-arena contiguous
+# window DMA (pallas_fused.ARENA_U units) starting at the last row.
+# Cached packs store only a CH_MAX tail (the on-disk format predates the
+# contiguous mode); _with_tail tops them up on load.
+TAIL_UNITS = 256
 TABLE_BYTES_LIMIT = int(1.5e9)
+
+
+def _with_tail(table):
+    """Extend a packed table's CH_MAX zero tail to TAIL_UNITS units."""
+    table = np.asarray(table)
+    return np.concatenate(
+        (table, np.zeros((TAIL_UNITS - CH_MAX, 8, 128), np.float32)),
+        axis=0,
+    )
 
 
 @partial(
@@ -336,6 +351,7 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
             for k in range(len(FINE_LADDER)):
                 p2 = p2 | (c0 << (BITS * k))
             arrays["cell_packed2"] = p2.astype(np.int32)
+        arrays["table"] = _with_tail(arrays["table"])
         return FusedMeshSpec(
             **{k: jnp.asarray(v) for k, v in arrays.items()},
             **parts["meta"],
@@ -450,7 +466,7 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
                 with open(cache_path, "wb") as f:
                     pickle.dump(parts, f)
             return FusedMeshSpec(
-                table=jnp.asarray(table),
+                table=jnp.asarray(_with_tail(table)),
                 cell_start=jnp.asarray(cell_start),
                 cell_packed=jnp.asarray(cell_packed),
                 cell_packed2=jnp.asarray(cell_packed2),
@@ -621,8 +637,8 @@ def _build_table(tri, aabb_min, aabb_max, n_sv, sv_width, voxel_size, dil,
         .transpose(0, 2, 1, 3)
         .reshape(total_units, 8, 128)
     )
-    # Trailing zero units: the kernel's single-DMA row fetch reads a full
-    # size class (up to CH_MAX units) from the row start.
+    # Trailing zero units (on-disk format: CH_MAX; _with_tail extends to
+    # TAIL_UNITS at spec construction for the contiguous window DMA).
     table = np.concatenate(
         (table, np.zeros((CH_MAX, 8, 128), np.float32)), axis=0
     )
@@ -657,11 +673,13 @@ def _run_ends(keys):
 
 
 @partial(jax.jit, static_argnames=("interpret", "track", "ablate",
-                                   "runtime_level", "count_units"))
+                                   "runtime_level", "count_units",
+                                   "fold_unroll", "contig"))
 def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
                      epsilon, max_iter, interpret=False, id_base=0,
                      track=False, compartments=None, ablate=0,
-                     runtime_level=True, count_units=False):
+                     runtime_level=True, count_units=False, fold_unroll=1,
+                     contig=True):
     """Advance the ensemble through the window ``ts`` with the fused engine.
 
     Arguments mirror engine.core.run_window (positions (3, n) true
@@ -793,6 +811,7 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
             next_end, corner_s, t_base, n_valid_steps, seed_k, epsilon,
             max_iter, interpret=interpret, ablate=ablate,
             runtime_level=runtime_level, count_units=count_units,
+            fold_unroll=fold_unroll, contig=contig,
         )
         pos_steps, exc_bits, cross_steps = eout[:3]
         if count_units:
@@ -868,7 +887,8 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
 def run_window_fused_sharded(device_mesh, spec, positions, phases, iter_exc,
                              g_eff, ts, seed32, epsilon, max_iter,
                              interpret=False, track=False, compartments=None,
-                             ablate=0, runtime_level=True):
+                             ablate=0, runtime_level=True, fold_unroll=1,
+                             contig=True):
     """Shard-mapped fused window: per-shard sorts and kernel launches.
 
     Spins are embarrassingly parallel, so the whole fused pipeline (epoch
@@ -892,7 +912,8 @@ def run_window_fused_sharded(device_mesh, spec, positions, phases, iter_exc,
             spec_l, pos, ph, exc, g_l, ts_l, seed_l, eps_l, mi_l,
             interpret=interpret, id_base=id_base, track=track,
             compartments=comp if track else None, ablate=ablate,
-            runtime_level=runtime_level,
+            runtime_level=runtime_level, fold_unroll=fold_unroll,
+            contig=contig,
         )
         (p2, ph2, e2) = out[0]
         return (p2, ph2, e2) + (out[2] if track else ())

@@ -21,19 +21,22 @@ each driven by measurements on the target hardware
   granularity cuts the wasted fold width ~2-6x vs the previous 128-wide
   chunks on typical cell occupancies.
 
-- **Resident candidate arena, run table built by XLA.** Each run's
-  candidate row is DMA'd from HBM once per *epoch* (pipelined, ~70
-  ns/issue) and reused across every step and bounce pass. The run table
-  (run start lanes, arena offsets, window partition, per-lane-block run
-  ranges) is a pure function of the sorted cell keys, so it is computed
-  VECTORIZED in XLA once per epoch (fused._epoch_run_tables: one batched
-  (n_tiles, TILE) sort + cumsums) and passed in as dense SMEM inputs; the
-  kernel's only remaining scalar work per run is starting and waiting its
-  DMA. (Round 3's in-kernel scalar fill walk alone cost 11-12 ms/step at
-  524k spins — the whole point of this hoist.) Windows use quantized
-  offsets: window w covers the runs whose exclusive class-size cumsum
-  falls in [w*CAP, (w+1)*CAP) with CAP = ARENA_U - CH_MAX, so every
-  window's rows fit the arena without any sequential packing walk.
+- **Resident candidate arena, run table built by XLA.** Candidate rows
+  are DMA'd from HBM once per *epoch* and reused across every step and
+  bounce pass. The run table (run start lanes, arena offsets, window
+  partition, per-lane-block run ranges) is a pure function of the sorted
+  cell keys, so it is computed VECTORIZED in XLA once per epoch
+  (_epoch_run_tables: one batched (n_tiles, TILE) sort + cumsums) and
+  passed in as dense SMEM inputs. (Round 3's in-kernel scalar fill walk
+  alone cost 11-12 ms/step at 524k spins — the whole point of this
+  hoist.) Windows use quantized offsets (CAP = ARENA_U - CH_MAX), so
+  every window's rows fit the arena without any sequential packing walk.
+  The default ``contig`` mode exploits that spins are globally sorted by
+  cell id while rows are stored in cell-id order: a window's rows are one
+  contiguous HBM span, fetched by a SINGLE static full-arena DMA — the
+  kernel's per-run scalar work drops to zero (the round-3/4 per-run
+  size-class dispatch walk cost ~13 ms/step at 524k spins and survives
+  only as the ``contig=False`` fallback for sparse occupancies).
 
 - **Feature-form Moller-Trumbore in cell-local frames.** The table stores
   per-triangle vectors [N = E1 x E2, A.N, E2, E2 x A, E1, A x E1] so that
@@ -69,7 +72,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import krng
-from .fused import BITS, CH_MAX as _CH_MAX
+from .fused import BITS, CH_MAX as _CH_MAX, TAIL_UNITS as _TAIL_UNITS
 
 TILE = 512  # spins per kernel instance (lanes)
 BLK = 128  # fold lane-block width (one vreg of spins)
@@ -86,6 +89,9 @@ ARENA_U = 256
 # window's rows span < CAP + CH_MAX <= ARENA_U arena slots (fused.
 # _epoch_run_tables) — vectorizable with a plain cumsum, no greedy walk.
 CAP = ARENA_U - _CH_MAX
+# The contiguous-window DMA reads a full ARENA_U-unit span from the first
+# run's row; the table's zero tail must absorb the worst-case over-read.
+assert ARENA_U <= _TAIL_UNITS
 EDGE_TOL = np.float32(1e-5)  # barycentric leak-proofing tolerance (f32)
 SLACK = np.float32(1e-5)  # hit-acceptance slack in step lengths (f32)
 _INF = np.float32(np.inf)
@@ -122,30 +128,48 @@ def _size_class(nun):
     return c
 
 
-def _epoch_run_tables(packed_s, next_end, J):
+def _epoch_run_tables(packed_s, next_end, J, start_s=None):
     """Vectorized run-table construction for one epoch (the XLA hoist).
 
     A run is a maximal stretch of equal anchor cells within one TILE-lane
     kernel tile. Everything the kernel's scalar core needs to steer DMAs
-    and fold loops — run start lanes, DMA size classes, arena offsets,
-    the window partition, per-lane-block run ranges — is a pure function
-    of the sorted keys, so it is built here with one batched
-    (n_tiles, TILE) sort plus cumsums instead of the round-3 in-kernel
-    scalar fill walk (which alone cost 11-12 ms/step at 524k spins).
+    and fold loops — run start lanes, arena offsets, the window
+    partition, per-lane-block run ranges — is a pure function of the
+    sorted keys, so it is built here with one batched (n_tiles, TILE)
+    sort plus cumsums instead of the round-3 in-kernel scalar fill walk
+    (which alone cost 11-12 ms/step at 524k spins).
 
-    Windowing is QUANTIZED rather than greedy so a plain cumsum suffices:
-    run k joins window ``cum_excl(k) // CAP`` where ``cum_excl`` is the
-    exclusive cumsum of DMA size classes and ``CAP = ARENA_U - CH_MAX``.
-    A window's runs then start below CAP and extend at most CH_MAX slots
-    past it, so every window fits the arena; window ids are nondecreasing
-    in steps of <= 1 (each class <= CH_MAX <= CAP), which the kernel's
-    window loop relies on.
+    Two windowing modes, both QUANTIZED so a plain cumsum suffices and
+    both producing window ids nondecreasing in steps of <= 1 (which the
+    kernel's window loop relies on):
 
-    Returns flat int32 arrays ``(runlane, runoff, runwin)`` of shape
-    (n,) — per tile, entries k < R are valid — and ``meta`` of shape
-    (n_tiles, 16) packing [R, rq0 x NBLK, rq1 x NBLK, 0 pad] where
-    [rq0[q], rq1[q]) is the contiguous range of runs overlapping lane
-    block q (runs are lane-ordered).
+    - **Contiguous (``start_s`` given).** Spins are globally sorted by
+      cell id and table rows are stored in cell-id order, so a tile's
+      runs occupy one (nearly) contiguous HBM range. Run k's position
+      relative to the tile's first run, ``rel = start(k) - start(0)``,
+      is quantized as ``win_raw = rel // CAP``, ``off = rel mod CAP``;
+      the kernel then issues ONE static-size ``ARENA_U``-unit DMA per
+      window from ``start(k0) - off(k0)`` instead of a scalar per-run
+      class-dispatch walk (which alone cost ~13 ms/step at 524k spins).
+      Raw window ids are densified (cumsum of boundaries) so sparse
+      tiles cannot produce empty window iterations.
+    - **Per-run size classes (``start_s`` None).** Run k joins window
+      ``cum_excl(k) // CAP`` where ``cum_excl`` is the exclusive cumsum
+      of DMA size classes; each run is DMA'd individually. Fallback for
+      very sparse spin occupancy where a contiguous window would span
+      many times the arena.
+
+    A window's runs start below CAP and extend at most CH_MAX slots past
+    it, so every window fits the arena.
+
+    Returns flat int32 arrays ``(runlane, runoff, winK)`` of shape (n,)
+    — per tile, runlane/runoff entries k < R are valid, and winK entry w
+    holds window w's first run index (entries >= the window count read R,
+    so the kernel's ``k1 = winK[w + 1]`` lookup needs no masking) — and
+    ``meta`` of shape (n,) packing per tile [R, rq0 x NBLK, rq1 x NBLK,
+    W, 0 pad] in the leading lanes, where [rq0[q], rq1[q]) is the
+    contiguous range of runs overlapping lane block q (runs are
+    lane-ordered) and W is the window count.
     """
     n = packed_s.shape[0]
     n_tiles = n // TILE
@@ -168,15 +192,37 @@ def _epoch_run_tables(packed_s, next_end, J):
     # Compact each tile's runs to the front, preserving lane order
     # (lax.sort is stable; runs carry unique lane keys).
     key = jnp.where(is_run, lane, jnp.int32(TILE))
-    _, runlane, runcls, runend = lax.sort(
-        (t2(key), t2(lane), t2(cls), t2(end_l)), dimension=1, num_keys=1
+    aux = cls if start_s is None else start_s
+    _, runlane, runaux, runend = lax.sort(
+        (t2(key), t2(lane), t2(aux), t2(end_l)), dimension=1, num_keys=1
     )
     R = jnp.sum(t2(is_run).astype(jnp.int32), axis=1)
-    cum_excl = jnp.cumsum(runcls, axis=1) - runcls
-    win = cum_excl // jnp.int32(CAP)
-    off = cum_excl - win * jnp.int32(CAP)
+    if start_s is not None:
+        rel = runaux - runaux[:, 0:1]
+        win_raw = rel // jnp.int32(CAP)
+        off = rel - win_raw * jnp.int32(CAP)
+    else:
+        cum_excl = jnp.cumsum(runaux, axis=1) - runaux
+        win_raw = cum_excl // jnp.int32(CAP)
+        off = cum_excl - win_raw * jnp.int32(CAP)
     k_iota = lax.broadcasted_iota(jnp.int32, (n_tiles, TILE), 1)
     valid = k_iota < R[:, None]
+    # Window-start flags -> compacted winK row: window w's first run
+    # index. Raw window ids are implicitly densified (only the boundaries
+    # matter), so sparse tiles that skip raw quanta produce no empty
+    # window iterations. Padding entries clamp to R so the kernel's
+    # k1 = winK[w + 1] lookup for the last window reads R unmasked.
+    neww = jnp.concatenate(
+        (
+            jnp.ones((n_tiles, 1), bool),
+            win_raw[:, 1:] != win_raw[:, :-1],
+        ),
+        axis=1,
+    )
+    is_ws = valid & neww
+    keyw = jnp.where(is_ws, k_iota, jnp.int32(TILE))
+    winK = jnp.minimum(jnp.sort(keyw, axis=1), R[:, None])
+    W = jnp.sum(is_ws.astype(jnp.int32), axis=1)
     cols = [R]
     for q in range(NBLK):
         cols.append(jnp.sum(
@@ -186,20 +232,22 @@ def _epoch_run_tables(packed_s, next_end, J):
         cols.append(jnp.sum(
             (valid & (runlane < (q + 1) * BLK)).astype(jnp.int32), axis=1
         ))
+    cols.append(W)
     # Meta rides a fourth (1, TILE)-shaped SMEM row (Pallas SMEM blocks
     # must span the array's leading dim): lane j of tile t holds meta
-    # column j, lanes >= 2*NBLK + 1 are padding.
+    # column j, lanes >= 2*NBLK + 2 are padding.
     meta = jnp.stack(cols, axis=1)
     meta_row = jnp.pad(meta, ((0, 0), (0, TILE - meta.shape[1])))
-    return (runlane.reshape(n), off.reshape(n), win.reshape(n),
+    return (runlane.reshape(n), off.reshape(n), winK.reshape(n),
             meta_row.reshape(n))
 
 
 def _kernel(starts_ref, packed_ref, packed2_ref, nexts_ref, cx_ref, cy_ref,
-            cz_ref, runlane_ref, runoff_ref, runwin_ref, meta_ref,
+            cz_ref, runlane_ref, runoff_ref, winK_ref, meta_ref,
             pi_ref, pf_ref, pos_ref, dirs_ref, idrow_ref, table_ref,
             out_ref, arena, sem, st, act, ubuf, crs, blkact, ucnt, *,
-            J, ablate=0, runtime_level=True, count_units=False):
+            J, ablate=0, runtime_level=True, count_units=False,
+            fold_unroll=1, contig=True):
     """One tile: J time steps, all bounces, windowed over the arena.
 
     Table rows are stored in CELL-LOCAL coordinates (the pack subtracts
@@ -211,11 +259,15 @@ def _kernel(starts_ref, packed_ref, packed2_ref, nexts_ref, cx_ref, cy_ref,
     Because coordinate frames differ per run, folds mask lanes outside
     the run's [start, end) range instead of union-folding.
 
-    The run table is an INPUT (fused._epoch_run_tables): ``runlane_ref``
-    holds run k's start lane, ``runoff_ref`` its arena offset,
-    ``runwin_ref`` its window id, and ``meta_ref`` packs [R, rq0 x NBLK,
-    rq1 x NBLK] (run count + per-lane-block run ranges). The kernel's
-    scalar core only starts/waits DMAs and steers the pass loops.
+    The run table is an INPUT (_epoch_run_tables): ``runlane_ref`` holds
+    run k's start lane, ``runoff_ref`` its arena offset, ``winK_ref``
+    window w's first run index, and ``meta_ref`` packs [R, rq0 x NBLK,
+    rq1 x NBLK, W] (run count, per-lane-block run ranges, window count).
+    With ``contig=True`` (spins sorted by cell id, rows stored in cell
+    order) each window's rows are one contiguous HBM span fetched by a
+    SINGLE static full-arena DMA; otherwise every run is fetched by its
+    own size-class DMA. The kernel's scalar core only starts/waits DMAs
+    and steers the pass loops.
     """
     seed = pi_ref[0, 0]
     max_iter = pi_ref[0, 1]
@@ -414,7 +466,26 @@ def _kernel(starts_ref, packed_ref, packed2_ref, nexts_ref, cx_ref, cy_ref,
                         cxq, cyq, czq, acc,
                     )
 
-                return lax.fori_loop(0, cnt, fold, acc)
+                if fold_unroll == 1:
+                    return lax.fori_loop(0, cnt, fold, acc)
+
+                # Unrolled: fold_unroll units per loop iteration to
+                # amortize the ~0.25 us Mosaic per-iteration overhead.
+                # Tail indices clamp to the run's last unit — duplicate
+                # folds are idempotent (strict `<` on the min
+                # accumulators), so physics is bit-identical and no
+                # masking is needed.
+                last = jnp.maximum(cnt - 1, 0)
+
+                def fold_u(c, acc):
+                    for k in range(fold_unroll):
+                        acc = fold(
+                            jnp.minimum(c * fold_unroll + k, last), acc
+                        )
+                    return acc
+
+                n_it = (cnt + (fold_unroll - 1)) // fold_unroll
+                return lax.fori_loop(0, n_it, fold_u, acc)
 
             inf8 = jnp.full((8, BLK), _INF, jnp.float32)
             zero8 = jnp.zeros((8, BLK), jnp.float32)
@@ -510,28 +581,48 @@ def _kernel(starts_ref, packed_ref, packed2_ref, nexts_ref, cx_ref, cy_ref,
                 stf[:, q * BLK: (q + 1) * BLK]
             ).astype(jnp.int32)
 
-    def window(state):
-        # One arena window: runs [k0, k1) where k1 is the first run of the
-        # next window (runwin is nondecreasing in steps of <= 1, so window
-        # w's runs are exactly the contiguous range with runwin == w).
-        # Start every run's DMA, then wait on each (transfers overlap).
-        w_start, k0, w = state
+    W = meta_ref[0, 1 + 2 * NBLK]
 
-        def adv_cond(k):
-            ks = jnp.minimum(k, jnp.int32(TILE - 1))  # guard k == TILE read
-            return (k < R) & (runwin_ref[0, ks] == w)
+    def window(w, w_start):
+        # One arena window: runs [k0, k1) straight from the precomputed
+        # winK row (entries >= W read R, so the k1 lookup is unmasked).
+        k0 = winK_ref[0, w]
+        k1 = jnp.where(
+            w + 1 < jnp.int32(TILE),
+            winK_ref[0, jnp.minimum(w + 1, jnp.int32(TILE - 1))],
+            R,
+        )
 
-        def adv_body(k):
-            run_dma(k, True)
-            return k + 1
+        if contig:
+            # The window's rows occupy one contiguous HBM span starting
+            # at start(k0) - off(k0): ONE static full-arena DMA replaces
+            # the per-run size-class dispatch walk. Over-read past the
+            # table's last row lands in its TAIL_UNITS zero tail.
+            @pl.when(k1 > k0)
+            def _():
+                i0 = runlane_ref[0, k0]
+                base = starts_ref[0, i0] - runoff_ref[0, k0]
+                cp = pltpu.make_async_copy(
+                    table_ref.at[pl.ds(base, ARENA_U)],
+                    arena.at[pl.ds(0, ARENA_U)],
+                    sem.at[0],
+                )
+                cp.start()
+                cp.wait()
+        else:
+            # Start every run's size-class DMA, then wait on each
+            # (transfers overlap).
+            def start_one(k, _):
+                run_dma(k, True)
+                return 0
 
-        k1 = lax.while_loop(adv_cond, adv_body, k0)
+            lax.fori_loop(k0, k1, start_one, 0)
 
-        def wait_one(k, _):
-            run_dma(k, False)
-            return 0
+            def wait_one(k, _):
+                run_dma(k, False)
+                return 0
 
-        lax.fori_loop(k0, k1, wait_one, 0)
+            lax.fori_loop(k0, k1, wait_one, 0)
 
         # Lane coverage: up to (but not including) the next window's first
         # run's start lane — lanes of empty cells between runs are swept
@@ -540,9 +631,8 @@ def _kernel(starts_ref, packed_ref, packed2_ref, nexts_ref, cx_ref, cy_ref,
             k1 < R, runlane_ref[0, jnp.minimum(k1, jnp.int32(TILE - 1))],
             jnp.int32(TILE),
         )
-        nxt_state = (w_end, k1, w + 1)
         if ablate in (11, 12):  # walk/DMA only, no step loop
-            return nxt_state
+            return w_end
 
         wmask = (lanes >= w_start) & (lanes < w_end)
 
@@ -620,7 +710,7 @@ def _kernel(starts_ref, packed_ref, packed2_ref, nexts_ref, cx_ref, cy_ref,
             out_ref[4 * s + 3: 4 * s + 4, :] = jnp.where(
                 wmask, aux_col, ov[4 * s + 3: 4 * s + 4]
             )
-        return nxt_state
+        return w_end
 
     # ----- main: init state, loop windows ----------------------------
     st[0:3] = pos_ref[...]
@@ -632,10 +722,10 @@ def _kernel(starts_ref, packed_ref, packed2_ref, nexts_ref, cx_ref, cy_ref,
         ucnt[0, 0] = jnp.int32(0)
         ucnt[0, 1] = jnp.int32(0)
 
-    lax.while_loop(
-        lambda s: s[0] < TILE, window,
-        (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
-    )
+    # W == 0 (no runs in the tile) still takes one window pass: k0 == k1
+    # == 0 skips the DMA and w_end == TILE, so every lane steps (no
+    # folds) and writes its output.
+    lax.fori_loop(0, jnp.maximum(W, jnp.int32(1)), window, jnp.int32(0))
     if count_units:
         # Diagnostic rows: folded units and gated block-passes this tile
         # (same scalar broadcast across the row; the host reads lane 0).
@@ -648,11 +738,12 @@ def _kernel(starts_ref, packed_ref, packed2_ref, nexts_ref, cx_ref, cy_ref,
 
 
 @partial(jax.jit, static_argnames=("n_steps", "interpret", "ablate",
-                                   "runtime_level", "count_units"))
+                                   "runtime_level", "count_units",
+                                   "fold_unroll", "contig"))
 def _launch(starts, packed, packed2, nexts, corner, runlane, runoff,
-            runwin, meta, params_i, params_f, pos, dirs, ids, table,
+            winK, meta, params_i, params_f, pos, dirs, ids, table,
             n_steps, interpret=False, ablate=0, runtime_level=True,
-            count_units=False):
+            count_units=False, fold_unroll=1, contig=True):
     n_pad = pos.shape[1]
     n_tiles = n_pad // TILE
     J = n_steps
@@ -673,8 +764,8 @@ def _launch(starts, packed, packed2, nexts, corner, runlane, runoff,
             smem_row,  # corner z
             smem_row,  # run start lanes
             smem_row,  # run arena offsets
-            smem_row,  # run window ids
-            smem_row,  # per-tile meta [R, rq0 x NBLK, rq1 x NBLK, pad]
+            smem_row,  # per-window first run index (winK)
+            smem_row,  # per-tile meta [R, rq0 x NBLK, rq1 x NBLK, W, pad]
             pl.BlockSpec((1, 4), lambda t: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 16), lambda t: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((3, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
@@ -700,20 +791,21 @@ def _launch(starts, packed, packed2, nexts, corner, runlane, runoff,
     )
     return pl.pallas_call(
         partial(_kernel, J=J, ablate=ablate,
-                runtime_level=runtime_level, count_units=count_units),
+                runtime_level=runtime_level, count_units=count_units,
+                fold_unroll=fold_unroll, contig=contig),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out, n_pad), jnp.float32),
         interpret=interpret,
     )(starts[None, :], packed[None, :], packed2[None, :], nexts[None, :],
       corner[0][None, :], corner[1][None, :], corner[2][None, :],
-      runlane[None, :], runoff[None, :], runwin[None, :], meta[None, :],
+      runlane[None, :], runoff[None, :], winK[None, :], meta[None, :],
       params_i, params_f, pos, dirs, ids[None, :], table)
 
 
 def fused_epoch(spec, pos_s, dirs, ids_s, start_s, packed_s, packed2_s,
                 next_end, corner_s, t_base, n_valid_steps, seed32, epsilon,
                 max_iter, interpret=False, ablate=0, runtime_level=True,
-                count_units=False):
+                count_units=False, fold_unroll=1, contig=True):
     """Run one epoch (J steps) of mesh physics on epoch-sorted state.
 
     pos_s: (3, n) float32 positions wrapped into the home periodic image;
@@ -770,12 +862,15 @@ def fused_epoch(spec, pos_s, dirs, ids_s, start_s, packed_s, packed2_s,
             jnp.zeros(1, jnp.float32),
         )
     )[None, :]
-    runlane, runoff, runwin, meta = _epoch_run_tables(packed_s, next_end, J)
+    runlane, runoff, winK, meta = _epoch_run_tables(
+        packed_s, next_end, J, start_s=start_s if contig else None
+    )
     out = _launch(
         start_s, packed_s, packed2_s, next_end, corner_s, runlane, runoff,
-        runwin, meta, params_i, params_f, pos_s, dirs_in, ids_s, spec.table,
+        winK, meta, params_i, params_f, pos_s, dirs_in, ids_s, spec.table,
         n_steps=J, interpret=interpret, ablate=ablate,
         runtime_level=runtime_level, count_units=count_units,
+        fold_unroll=fold_unroll, contig=contig,
     )
     steps = out[:4 * J].reshape(J, 4, n)
     pos_steps = steps[:, 0:3, :]  # (J, 3, n)

@@ -775,6 +775,8 @@ def simulation(
                     compartments=compartments,
                     ablate=engine_config.fused_ablate,
                     runtime_level=engine_config.fused_runtime_level,
+                    fold_unroll=engine_config.fused_fold_unroll,
+                    contig=engine_config.fused_dma_mode == "contig",
                 )
             else:
                 out = fused.run_window_fused(
@@ -793,6 +795,8 @@ def simulation(
                     ablate=engine_config.fused_ablate,
                     runtime_level=engine_config.fused_runtime_level,
                     count_units=count_units,
+                    fold_unroll=engine_config.fused_fold_unroll,
+                    contig=engine_config.fused_dma_mode == "contig",
                 )
             if count_units:
                 diag = out[-1]

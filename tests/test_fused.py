@@ -212,49 +212,64 @@ def test_pack_fused_coverage(packed_sphere):
 # ---------------------------------------------------------------------------
 
 
-def test_epoch_run_tables_invariants():
+def _random_run_structure(rng, n_tiles, J):
+    """Synthetic sorted-epoch metadata: random runs per tile plus a
+    consistent global row layout (cell_start values for contig mode)."""
+    from disimpy_tpu.engine import pallas_fused as pf
+
+    TILE = pf.TILE
+    n = n_tiles * TILE
+    packed = np.empty(n, np.int64)
+    nxt = np.empty(n, np.int64)
+    start = np.empty(n, np.int64)
+    row = 0
+    for t in range(n_tiles):
+        pos = t * TILE
+        while pos < (t + 1) * TILE:
+            ln = int(rng.randint(1, 90))
+            end = min(pos + ln, (t + 1) * TILE)
+            nun = int(rng.choice([0, 0, 1, 2, 3, 5, 9, 17, 31]))
+            packed[pos:end] = nun << (fused.BITS * (J - 1))
+            nxt[pos:end] = end
+            start[pos:end] = row
+            # Occasional row gap: a populated cell none of this tile's
+            # spins anchor to (exercises contig-window quantization).
+            row += nun + int(rng.choice([0, 0, 0, 7, 40]))
+            pos = end
+    return packed, nxt, start
+
+
+@pytest.mark.parametrize("contig", [False, True])
+def test_epoch_run_tables_invariants(contig):
     """The vectorized run table must cover every non-empty run exactly
-    once, in lane order, with arena-safe offsets, window ids that are
-    nondecreasing in steps of <= 1, and per-block ranges that exactly
-    bracket the runs overlapping each 128-lane block."""
+    once, in lane order, with arena-safe offsets, a winK row that
+    partitions [0, R) into contiguous windows, and per-block ranges that
+    exactly bracket the runs overlapping each 128-lane block. In contig
+    mode every run's arena offset must equal its HBM distance from the
+    window's DMA base (one full-arena transfer serves the window)."""
     from disimpy_tpu.engine import pallas_fused as pf
 
     TILE, BLK, NBLK = pf.TILE, pf.BLK, pf.NBLK
     J = 4
     rng = np.random.RandomState(3)
     n_tiles = 3
-    n = n_tiles * TILE
-    # Random run structure: split each tile into runs of random lengths.
-    cells = np.empty(n, np.int64)
-    packed = np.empty(n, np.int64)
-    nxt = np.empty(n, np.int64)
-    for t in range(n_tiles):
-        pos = t * TILE
-        cid = 0
-        while pos < (t + 1) * TILE:
-            ln = int(rng.randint(1, 90))
-            end = min(pos + ln, (t + 1) * TILE)
-            nun = int(rng.choice([0, 0, 1, 2, 3, 5, 9, 17, 31]))
-            pk = nun << (fused.BITS * (J - 1))
-            cells[pos:end] = cid
-            packed[pos:end] = pk
-            nxt[pos:end] = end
-            pos = end
-            cid += 1
-    runlane, runoff, runwin, meta = jax.tree_util.tree_map(
+    packed, nxt, start = _random_run_structure(rng, n_tiles, J)
+    runlane, runoff, winK, meta = jax.tree_util.tree_map(
         np.asarray,
         pf._epoch_run_tables(
-            jnp.asarray(packed, jnp.int32), jnp.asarray(nxt, jnp.int32), J
+            jnp.asarray(packed, jnp.int32), jnp.asarray(nxt, jnp.int32), J,
+            start_s=jnp.asarray(start, jnp.int32) if contig else None,
         ),
     )
     runlane = runlane.reshape(n_tiles, TILE)
     runoff = runoff.reshape(n_tiles, TILE)
-    runwin = runwin.reshape(n_tiles, TILE)
+    winK = winK.reshape(n_tiles, TILE)
     meta = meta.reshape(n_tiles, TILE)
     mask = (1 << fused.BITS) - 1
     for t in range(n_tiles):
         base = t * TILE
         R = int(meta[t, 0])
+        W = int(meta[t, 1 + 2 * NBLK])
         # Expected runs: non-empty-cell run starts within the tile.
         exp = []
         for l in range(TILE):
@@ -264,6 +279,16 @@ def test_epoch_run_tables_invariants():
                 exp.append(l)
         assert R == len(exp)
         npt.assert_array_equal(runlane[t, :R], exp)
+        # winK: strictly increasing window-start run indices partitioning
+        # [0, R); padding entries read R (the kernel's unmasked k1 lookup).
+        ks = [int(winK[t, w]) for w in range(W)]
+        assert ks == sorted(set(ks))
+        assert (W >= 1 and ks[0] == 0) if R else W == 0
+        npt.assert_array_equal(winK[t, W:], R)
+        win_of = np.zeros(R, int)
+        for w in range(W):
+            k1 = ks[w + 1] if w + 1 < W else R
+            win_of[ks[w]:k1] = w
         # Arena safety: every run's [off, off + class) fits, and runs in
         # the same window never overlap.
         occupied = {}
@@ -271,15 +296,22 @@ def test_epoch_run_tables_invariants():
             g = base + runlane[t, k]
             nun = (packed[g] >> (fused.BITS * (J - 1))) & mask
             cls = next(c for c in pf._CLASSES if c >= nun)
-            off, win = int(runoff[t, k]), int(runwin[t, k])
-            assert 0 <= off and off + cls <= pf.ARENA_U
-            for s in range(off, off + cls):
+            off, win = int(runoff[t, k]), int(win_of[k])
+            assert 0 <= off < pf.CAP and off + cls <= pf.ARENA_U
+            for s in range(off, off + nun if contig else off + cls):
                 assert (win, s) not in occupied
                 occupied[(win, s)] = k
-            if k:
-                assert runwin[t, k] - runwin[t, k - 1] in (0, 1)
-            else:
-                assert win == 0
+        if contig:
+            # One full-arena DMA from base = start(k0) - off(k0) must put
+            # every run of the window at its recorded arena offset.
+            for k in range(R):
+                k0 = ks[win_of[k]]
+                dma_base = (
+                    start[base + runlane[t, k0]] - int(runoff[t, k0])
+                )
+                assert start[base + runlane[t, k]] - dma_base == int(
+                    runoff[t, k]
+                )
         # Per-block ranges bracket exactly the overlapping runs.
         for q in range(NBLK):
             lo, hi = int(meta[t, 1 + q]), int(meta[t, 1 + NBLK + q])
@@ -440,6 +472,76 @@ def test_runtime_level_selection_bit_identical():
         config.pallas_interpret = False
     npt.assert_array_equal(p_on, p_off)
     npt.assert_array_equal(s_on, s_off)
+
+
+def test_fold_unroll_bit_identical():
+    """Fold-loop unrolling re-folds the run's last unit for odd tails; the
+    strict `<` on the min accumulators makes duplicate folds idempotent,
+    so unroll 2 and 4 must match unroll 1 bit for bit."""
+    n_s, n_t = 200, 16
+    gradient = np.zeros((1, n_t, 3))
+    gradient[:, 1:-1, 0] = 1e-3
+    vertices, faces = meshes.icosphere(radius=5e-6, subdivisions=1)
+    substrate = substrates.mesh(
+        vertices, faces, periodic=True, init_pos="intra",
+        n_sv=np.array([2, 2, 2]), quiet=True,
+    )
+
+    def run():
+        return simulations.simulation(
+            n_s, 2e-9, gradient, 2e-4, substrate, quiet=True, seed=9,
+            final_pos=True,
+        )
+
+    try:
+        config.use_fused = True
+        config.pallas_interpret = True
+        s1, p1 = run()
+        config.fused_fold_unroll = 2
+        s2, p2 = run()
+        config.fused_fold_unroll = 4
+        s4, p4 = run()
+    finally:
+        config.fused_fold_unroll = 1
+        config.use_fused = None
+        config.pallas_interpret = False
+    npt.assert_array_equal(p1, p2)
+    npt.assert_array_equal(s1, s2)
+    npt.assert_array_equal(p1, p4)
+    npt.assert_array_equal(s1, s4)
+
+
+def test_dma_mode_bit_identical():
+    """The contiguous-window DMA and the per-run size-class DMA fill the
+    arena with the same rows at the same offsets, so the two modes must
+    produce bit-identical physics."""
+    n_s, n_t = 200, 16
+    gradient = np.zeros((1, n_t, 3))
+    gradient[:, 1:-1, 0] = 1e-3
+    vertices, faces = meshes.icosphere(radius=5e-6, subdivisions=1)
+    substrate = substrates.mesh(
+        vertices, faces, periodic=True, init_pos="intra",
+        n_sv=np.array([2, 2, 2]), quiet=True,
+    )
+
+    def run():
+        return simulations.simulation(
+            n_s, 2e-9, gradient, 2e-4, substrate, quiet=True, seed=9,
+            final_pos=True,
+        )
+
+    try:
+        config.use_fused = True
+        config.pallas_interpret = True
+        s_c, p_c = run()
+        config.fused_dma_mode = "runs"
+        s_r, p_r = run()
+    finally:
+        config.fused_dma_mode = "contig"
+        config.use_fused = None
+        config.pallas_interpret = False
+    npt.assert_array_equal(p_c, p_r)
+    npt.assert_array_equal(s_c, s_r)
 
 
 def test_fused_iter_exc_flagging(oracles_dir):
