@@ -713,6 +713,9 @@ def _kernel(starts_ref, packed_ref, packed2_ref, nexts_ref, cx_ref, cy_ref,
         return w_end
 
     # ----- main: init state, loop windows ----------------------------
+    if ablate == 20:  # XLA/launch floor: the kernel body is a no-op
+        out_ref[0:1, :] = pos_ref[0:1, :]
+        return
     st[0:3] = pos_ref[...]
     st[3:8] = jnp.zeros((5, TILE), jnp.float32)
     act[...] = jnp.zeros((1, TILE), jnp.float32)
