@@ -50,8 +50,10 @@ fused_dma_mode = "contig"
 # cost ~0.25 us of fixed overhead; unrolling amortizes it over several
 # 64-triangle unit folds. Odd tails re-fold the run's last unit (the
 # min-accumulators make duplicate folds idempotent — bit-identical
-# physics), so no masking is needed.
-fused_fold_unroll = 1
+# physics), so no masking is needed. Measured on the bundle (J=4, 524k
+# spins): 1 -> 43.05, 2 -> 40.94, 4 -> 43.13 ms/step (mean selected
+# prefix is ~2.2 units, so unroll 4 mostly re-folds the last unit).
+fused_fold_unroll = 2
 # When True (single-device fused runs only), the kernel counts folded
 # 64-triangle units and gated block-passes; the driver accumulates them in
 # simulations._STREAM_DIAG. Costs one extra kernel variant compile.
