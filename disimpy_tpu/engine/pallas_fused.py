@@ -165,11 +165,12 @@ def _epoch_run_tables(packed_s, next_end, J, start_s=None):
     Returns flat int32 arrays ``(runlane, runoff, winK)`` of shape (n,)
     — per tile, runlane/runoff entries k < R are valid, and winK entry w
     holds window w's first run index (entries >= the window count read R,
-    so the kernel's ``k1 = winK[w + 1]`` lookup needs no masking) — and
+    so the kernel's ``k1 = winK[w + 1]`` lookup needs no masking) —
     ``meta`` of shape (n,) packing per tile [R, rq0 x NBLK, rq1 x NBLK,
     W, 0 pad] in the leading lanes, where [rq0[q], rq1[q]) is the
     contiguous range of runs overlapping lane block q (runs are
-    lane-ordered) and W is the window count.
+    lane-ordered) and W is the window count — and ``bases`` of shape
+    (n_tiles,): each tile's window-0 DMA base row (-1 when runless).
     """
     n = packed_s.shape[0]
     n_tiles = n // TILE
@@ -238,16 +239,24 @@ def _epoch_run_tables(packed_s, next_end, J, start_s=None):
     # column j, lanes >= 2*NBLK + 2 are padding.
     meta = jnp.stack(cols, axis=1)
     meta_row = jnp.pad(meta, ((0, 0), (0, TILE - meta.shape[1])))
+    # Per-tile window-0 DMA base (contig mode): the first run's table row
+    # (off(k0) == 0 by construction); -1 sentinel for runless tiles. The
+    # kernel's cross-tile pipeline (tile t prefetches tile t+1's window-0
+    # span) reads this via scalar prefetch.
+    if start_s is not None:
+        bases = jnp.where(R > 0, runaux[:, 0], jnp.int32(-1))
+    else:
+        bases = jnp.full((n_tiles,), -1, jnp.int32)
     return (runlane.reshape(n), off.reshape(n), winK.reshape(n),
-            meta_row.reshape(n))
+            meta_row.reshape(n), bases)
 
 
-def _kernel(starts_ref, packed_ref, packed2_ref, nexts_ref, cx_ref, cy_ref,
-            cz_ref, runlane_ref, runoff_ref, winK_ref, meta_ref,
-            pi_ref, pf_ref, pos_ref, dirs_ref, idrow_ref, table_ref,
-            out_ref, arena, sem, st, act, ubuf, crs, blkact, ucnt, *,
-            J, ablate=0, runtime_level=True, count_units=False,
-            fold_unroll=1, contig=True):
+def _kernel(bases_ref, starts_ref, packed_ref, packed2_ref, nexts_ref,
+            cx_ref, cy_ref, cz_ref, runlane_ref, runoff_ref, winK_ref,
+            meta_ref, pi_ref, pf_ref, pos_ref, dirs_ref, idrow_ref,
+            table_ref, out_ref, arena, sem, st, act, ubuf, crs, blkact,
+            ucnt, *, J, ablate=0, runtime_level=True, count_units=False,
+            fold_unroll=1, contig=True, pipeline=True):
     """One tile: J time steps, all bounces, windowed over the arena.
 
     Table rows are stored in CELL-LOCAL coordinates (the pack subtracts
@@ -289,6 +298,43 @@ def _kernel(starts_ref, packed_ref, packed2_ref, nexts_ref, cx_ref, cy_ref,
     lanes = lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
     sub8 = lax.broadcasted_iota(jnp.int32, (8, BLK), 0)
     R = meta_ref[0, 0]
+    t_id = pl.program_id(0)
+
+    if pipeline:
+        # Cross-tile arena pipeline: the two ARENA_U-unit arena halves
+        # alternate per tile, and tile t issues tile t+1's window-0 DMA
+        # at entry — before waiting on its own half — so the ~12.6 us
+        # transfer hides behind this tile's folds (the synchronous
+        # start+wait pair measured 3.2 ms/step on the bundle). Scratch
+        # persists across grid steps on a TPU core, which is what makes
+        # the handoff possible.
+        buf = t_id & 1
+        abase = buf * jnp.int32(ARENA_U)
+    else:
+        abase = jnp.int32(0)
+
+    def _arena_copy(base, ab, b):
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(base, ARENA_U)],
+            arena.at[pl.ds(ab, ARENA_U)],
+            sem.at[b],
+        )
+
+    if pipeline:
+        def _issue(tt, b):
+            base = bases_ref[tt]
+
+            @pl.when(base >= 0)
+            def _():
+                _arena_copy(base, b * jnp.int32(ARENA_U), b).start()
+
+        @pl.when(t_id == 0)
+        def _():
+            _issue(jnp.int32(0), jnp.int32(0))
+
+        @pl.when(t_id + 1 < pl.num_programs(0))
+        def _():
+            _issue(t_id + 1, 1 - buf)
 
     def class_op(src, off, nun, start_not_wait):
         """Start (or wait for) a row's static-size-class DMA."""
@@ -462,7 +508,8 @@ def _kernel(starts_ref, packed_ref, packed2_ref, nexts_ref, cx_ref, cy_ref,
 
                 def fold(c, acc):
                     return _fold_unit(
-                        arena[off + c], inrun, xq, yq, zq, dxb, dyb, dzb,
+                        arena[abase + off + c], inrun, xq, yq, zq, dxb,
+                        dyb, dzb,
                         cxq, cyq, czq, acc,
                     )
 
@@ -593,7 +640,24 @@ def _kernel(starts_ref, packed_ref, packed2_ref, nexts_ref, cx_ref, cy_ref,
             R,
         )
 
-        if contig:
+        if contig and pipeline:
+            # Window 0's span is already in flight into this tile's
+            # arena half (issued by the previous tile, or by this one at
+            # t == 0) — just wait on it. Later windows (rare: most tiles
+            # fit one) fill the same half synchronously, reusing its
+            # semaphore after the wait consumed it.
+            @pl.when((w == 0) & (bases_ref[t_id] >= 0))
+            def _():
+                _arena_copy(bases_ref[t_id], abase, buf).wait()
+
+            @pl.when((w > 0) & (k1 > k0))
+            def _():
+                i0 = runlane_ref[0, k0]
+                base = starts_ref[0, i0] - runoff_ref[0, k0]
+                cp = _arena_copy(base, abase, buf)
+                cp.start()
+                cp.wait()
+        elif contig:
             # The window's rows occupy one contiguous HBM span starting
             # at start(k0) - off(k0): ONE static full-arena DMA replaces
             # the per-run size-class dispatch walk. Over-read past the
@@ -602,11 +666,7 @@ def _kernel(starts_ref, packed_ref, packed2_ref, nexts_ref, cx_ref, cy_ref,
             def _():
                 i0 = runlane_ref[0, k0]
                 base = starts_ref[0, i0] - runoff_ref[0, k0]
-                cp = pltpu.make_async_copy(
-                    table_ref.at[pl.ds(base, ARENA_U)],
-                    arena.at[pl.ds(0, ARENA_U)],
-                    sem.at[0],
-                )
+                cp = _arena_copy(base, jnp.int32(0), jnp.int32(0))
                 cp.start()
                 cp.wait()
         else:
@@ -743,7 +803,7 @@ def _kernel(starts_ref, packed_ref, packed2_ref, nexts_ref, cx_ref, cy_ref,
 @partial(jax.jit, static_argnames=("n_steps", "interpret", "ablate",
                                    "runtime_level", "count_units",
                                    "fold_unroll", "contig"))
-def _launch(starts, packed, packed2, nexts, corner, runlane, runoff,
+def _launch(bases, starts, packed, packed2, nexts, corner, runlane, runoff,
             winK, meta, params_i, params_f, pos, dirs, ids, table,
             n_steps, interpret=False, ablate=0, runtime_level=True,
             count_units=False, fold_unroll=1, contig=True):
@@ -751,11 +811,14 @@ def _launch(starts, packed, packed2, nexts, corner, runlane, runoff,
     n_tiles = n_pad // TILE
     J = n_steps
     n_out = 4 * J + (2 if count_units else 0)
+    # Cross-tile arena prefetch requires scratch that persists across
+    # grid steps — a TPU-core property the interpreter does not emulate.
+    pipeline = contig and not interpret
     smem_row = pl.BlockSpec(
-        (1, TILE), lambda t: (0, t), memory_space=pltpu.SMEM
+        (1, TILE), lambda t, b: (0, t), memory_space=pltpu.SMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1,  # bases: per-tile window-0 DMA rows
         grid=(n_tiles,),
         in_specs=[
             smem_row,  # starts
@@ -769,20 +832,23 @@ def _launch(starts, packed, packed2, nexts, corner, runlane, runoff,
             smem_row,  # run arena offsets
             smem_row,  # per-window first run index (winK)
             smem_row,  # per-tile meta [R, rq0 x NBLK, rq1 x NBLK, W, pad]
-            pl.BlockSpec((1, 4), lambda t: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 16), lambda t: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((3, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, TILE), lambda t: (0, t),
+            pl.BlockSpec((1, 4), lambda t, b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 16), lambda t, b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, TILE), lambda t, b: (0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda t: (0, t),
+            pl.BlockSpec((16, TILE), lambda t, b: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda t, b: (0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (n_out, TILE), lambda t: (0, t), memory_space=pltpu.VMEM
+            (n_out, TILE), lambda t, b: (0, t), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((ARENA_U, 8, 128), jnp.float32),
+            pltpu.VMEM((2 * ARENA_U, 8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((ARENA_U,)),
             pltpu.VMEM((8, TILE), jnp.float32),
             pltpu.VMEM((1, TILE), jnp.float32),
@@ -795,11 +861,13 @@ def _launch(starts, packed, packed2, nexts, corner, runlane, runoff,
     return pl.pallas_call(
         partial(_kernel, J=J, ablate=ablate,
                 runtime_level=runtime_level, count_units=count_units,
-                fold_unroll=fold_unroll, contig=contig),
+                fold_unroll=fold_unroll, contig=contig,
+                pipeline=pipeline),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out, n_pad), jnp.float32),
         interpret=interpret,
-    )(starts[None, :], packed[None, :], packed2[None, :], nexts[None, :],
+    )(bases,
+      starts[None, :], packed[None, :], packed2[None, :], nexts[None, :],
       corner[0][None, :], corner[1][None, :], corner[2][None, :],
       runlane[None, :], runoff[None, :], winK[None, :], meta[None, :],
       params_i, params_f, pos, dirs, ids[None, :], table)
@@ -865,13 +933,13 @@ def fused_epoch(spec, pos_s, dirs, ids_s, start_s, packed_s, packed2_s,
             jnp.zeros(1, jnp.float32),
         )
     )[None, :]
-    runlane, runoff, winK, meta = _epoch_run_tables(
+    runlane, runoff, winK, meta, bases = _epoch_run_tables(
         packed_s, next_end, J, start_s=start_s if contig else None
     )
     out = _launch(
-        start_s, packed_s, packed2_s, next_end, corner_s, runlane, runoff,
-        winK, meta, params_i, params_f, pos_s, dirs_in, ids_s, spec.table,
-        n_steps=J, interpret=interpret, ablate=ablate,
+        bases, start_s, packed_s, packed2_s, next_end, corner_s, runlane,
+        runoff, winK, meta, params_i, params_f, pos_s, dirs_in, ids_s,
+        spec.table, n_steps=J, interpret=interpret, ablate=ablate,
         runtime_level=runtime_level, count_units=count_units,
         fold_unroll=fold_unroll, contig=contig,
     )

@@ -254,7 +254,7 @@ def test_epoch_run_tables_invariants(contig):
     rng = np.random.RandomState(3)
     n_tiles = 3
     packed, nxt, start = _random_run_structure(rng, n_tiles, J)
-    runlane, runoff, winK, meta = jax.tree_util.tree_map(
+    runlane, runoff, winK, meta, bases = jax.tree_util.tree_map(
         np.asarray,
         pf._epoch_run_tables(
             jnp.asarray(packed, jnp.int32), jnp.asarray(nxt, jnp.int32), J,
@@ -312,6 +312,13 @@ def test_epoch_run_tables_invariants(contig):
                 assert start[base + runlane[t, k]] - dma_base == int(
                     runoff[t, k]
                 )
+            # The cross-tile prefetch base is window 0's DMA row.
+            if R:
+                assert bases[t] == start[base + runlane[t, 0]]
+            else:
+                assert bases[t] == -1
+        else:
+            assert bases[t] == -1
         # Per-block ranges bracket exactly the overlapping runs.
         for q in range(NBLK):
             lo, hi = int(meta[t, 1 + q]), int(meta[t, 1 + NBLK + q])
