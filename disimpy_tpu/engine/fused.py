@@ -413,12 +413,18 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
             table, cell_start, cell_packed, _ = built
             if table.nbytes > bytes_limit:
                 continue
-            # Kernel cost model (ns per spin-step, row-form kernel): a run
-            # of L spins spans ~L/BLK + 1 fold lane blocks; each block
-            # iteration pays ~100 ns of loop/walk overhead plus ~200 ns
-            # per 64-triangle unit folded (microbench N: ~31 ns per 8-tri
-            # group plus slice extraction), amortized over the run's L
-            # spins (benchmarks/README.md).
+            # Kernel cost model (device ns per spin-step), refit to the
+            # round-4 width sweep on the bundle (benchmarks/README.md):
+            #   cost = (1/L + 1/BLK) * (I + U * curve) + C
+            # where (1/L + 1/BLK) is each spin's share of run-block
+            # iterations (runs/tile ~ TILE/L, blocks/run ~ L/BLK + 1),
+            # I = 141 ns of per-iteration scalar machinery x effective
+            # passes, U = 434 ns per STATIC prefix unit (folding the
+            # runtime-SELECTED subset, whose size tracks curve), and
+            # C = 20 ns of per-spin fixed cost (launch, window DMA, step
+            # scaffolding, XLA epoch machinery). Fit residual < 3% on
+            # widths {3.2, 4.2, 5.5, 6.3}: 92.7/64.6/64.4/67.0 measured
+            # vs 92.7/64.4/64.0/68.9 modeled ns/spin-step.
             curve = np.mean([
                 float(np.mean((cell_packed >> (BITS * s)) & ((1 << BITS) - 1)))
                 for s in range(J)
@@ -426,7 +432,7 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
             from .pallas_fused import TILE as _TILE, BLK as _BLK
             lam = max(n_hint_q / float(np.prod(n_sv)), 1.0)
             L = min(lam, float(_TILE))
-            score = (L / _BLK + 1.0) * (100.0 + curve * 200.0) / L
+            score = (1.0 / L + 1.0 / _BLK) * (141.0 + curve * 434.0) + 20.0
             if not quiet:
                 print(
                     f"pack_fused: J={J} width={width} n_sv={tuple(n_sv)} "
