@@ -23,8 +23,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-UNITS = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+_POS = [a for a in sys.argv[1:] if a != "t"]
+UNITS = int(_POS[0]) if len(_POS) > 0 else 64
+REPS = int(_POS[1]) if len(_POS) > 1 else 200
 _INF = np.float32(np.inf)
 EDGE_TOL = np.float32(1e-5)
 
@@ -130,6 +131,60 @@ def _mxu_kernel(rec_ref, rec3_ref, g_ref, out_ref, *, units, reps):
     out_ref[2:3, :] = ny + nz
 
 
+def _mxu_t_kernel(recT_ref, g_ref, out_ref, *, units, reps,
+                  precision=None):
+    """Production v11 formulation: the unit is stored TRANSPOSED
+    (16, 128) — features in sublanes, triangles in lanes, DMA-aligned —
+    and the fold contracts dim 0 of both operands in ONE dot_general
+    against a (16, 4*128) det/tn/un/vn column-grouped feature matrix."""
+    gv = g_ref[...]  # (16, 512)
+    inrun = gv[9:10, 0:128] > 0
+    iota = lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    lo, hi = -EDGE_TOL, 1.0 + EDGE_TOL
+
+    def fold(i, acc):
+        c = i - (i // units) * units
+        bd, nx, ny, nz = acc
+        u = recT_ref[c]  # (16, 128)
+        o = lax.dot_general(
+            u, gv, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # (128 tris, 512)
+        det = o[:, 0:128]
+        inv = 1.0 / det
+        t = o[:, 128:256] * inv
+        uu = o[:, 256:384] * inv
+        vv = o[:, 384:512] * inv
+        ok = (
+            (det != 0) & (uu >= lo) & (uu <= hi) & (vv >= lo)
+            & (uu + vv <= hi) & (t > 0)
+        )
+        t = jnp.where(ok & inrun, t, _INF)
+        d = jnp.min(t, axis=0, keepdims=True)
+        is_min = t == d
+        row = jnp.min(
+            jnp.where(is_min, iota, jnp.int32(128)), axis=0, keepdims=True
+        )
+        sel = (is_min & (iota == row) & (d != _INF)).astype(jnp.float32)
+        nsel = jnp.dot(u[0:3, :], sel, preferred_element_type=jnp.float32,
+                       precision=precision)
+        better = d < bd
+        bd = jnp.where(better, d, bd)
+        nx = jnp.where(better, nsel[0:1], nx)
+        ny = jnp.where(better, nsel[1:2], ny)
+        nz = jnp.where(better, nsel[2:3], nz)
+        return bd, nx, ny, nz
+
+    inf1 = jnp.full((1, 128), _INF, jnp.float32)
+    z1 = jnp.zeros((1, 128), jnp.float32)
+    bd, nx, ny, nz = lax.fori_loop(
+        0, units * reps, fold, (inf1, z1, z1, z1)
+    )
+    out_ref[0:1, :] = bd
+    out_ref[1:2, :] = nx
+    out_ref[2:3, :] = ny + nz
+
+
 def timed(call, args, label, vary=1):
     """One dispatch; the REPS loop runs INSIDE the kernel (a scan of
     per-rep pallas_calls re-stages the inputs every iteration and an
@@ -153,6 +208,10 @@ def timed(call, args, label, vary=1):
 
 
 def main():
+    # "t" argv: only the production transposed-unit variants (the VPU
+    # baseline pays a ~200 s remote compile; its number is recorded in
+    # benchmarks/README.md).
+    t_only = "t" in sys.argv[1:]
     rng = np.random.RandomState(0)
     table = rng.randn(UNITS, 8, 128).astype(np.float32)
     feat = rng.randn(10, 128).astype(np.float32)
@@ -165,26 +224,51 @@ def main():
     vmem = lambda shape: pl.BlockSpec(
         shape, lambda: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
-    vpu = pl.pallas_call(
+    vpu = None if t_only else pl.pallas_call(
         partial(_vpu_kernel, units=UNITS, reps=REPS),
         in_specs=[vmem(table.shape), vmem(feat.shape)],
         out_specs=vmem((3, 128)),
         out_shape=jax.ShapeDtypeStruct((3, 128), jnp.float32),
     )
-    timed(vpu, (jnp.asarray(table), jnp.asarray(feat)), "VPU 8-group fold")
+    if not t_only:
+        timed(vpu, (jnp.asarray(table), jnp.asarray(feat)),
+              "VPU 8-group fold")
 
-    mxu = pl.pallas_call(
+    mxu = None if t_only else pl.pallas_call(
         partial(_mxu_kernel, units=UNITS, reps=REPS),
         in_specs=[vmem(rec.shape), vmem(rec3.shape), vmem(feat16.shape)],
         out_specs=vmem((3, 128)),
         out_shape=jax.ShapeDtypeStruct((3, 128), jnp.float32),
     )
-    timed(
-        mxu,
-        (jnp.asarray(rec), jnp.asarray(rec3), jnp.asarray(feat16)),
-        "MXU matmul fold",
-        vary=2,
-    )
+    if not t_only:
+        timed(
+            mxu,
+            (jnp.asarray(rec), jnp.asarray(rec3), jnp.asarray(feat16)),
+            "MXU matmul fold",
+            vary=2,
+        )
+
+    # Production v11 form: (16, 128) transposed units, one dot per 128
+    # triangles — 2x the triangles per fold of the variants above, so
+    # compare ns/unit at HALF the unit count.
+    recT = rng.randn(UNITS, 16, 128).astype(np.float32)
+    g512 = np.zeros((16, 512), np.float32)
+    g512[:10] = rng.randn(10, 512)
+    g512[9, :] = 1.0
+    # Precision.HIGH is NOT supported by the Mosaic dot lowering (only
+    # DEFAULT -> one bf16 pass and HIGHEST -> fp32 contract), measured
+    # 2026-08-19.
+    for prec in (None, jax.lax.Precision.HIGHEST):
+        mxu_t = pl.pallas_call(
+            partial(_mxu_t_kernel, units=UNITS, reps=REPS, precision=prec),
+            in_specs=[vmem(recT.shape), vmem(g512.shape)],
+            out_specs=vmem((3, 128)),
+            out_shape=jax.ShapeDtypeStruct((3, 128), jnp.float32),
+        )
+        timed(
+            mxu_t, (jnp.asarray(recT), jnp.asarray(g512)),
+            f"MXU transposed-unit fold (128 tris/unit, precision={prec})",
+        )
 
 
 if __name__ == "__main__":
