@@ -43,18 +43,27 @@ each driven by measurements on the target hardware
   det, t, u, v are pure dot products against per-spin features
   (d, r0, r0 x d): ~29 elementwise ops per spin-triangle pair vs ~58 for
   the corner/edge form. Rows are packed with the owning cell's corner at
-  the origin and the fold re-offsets each run's spins by that corner
-  (SMEM corner rows, constant within a run), so the cancellation error of
-  the triple-product differences is bounded by ~eps_f32 * (cell width +
-  dilation) regardless of voxel extent, and no per-window table
-  adjustment is needed. Fold lanes outside a run's [start, end) range are
-  masked — their coordinates live in a different cell's frame.
+  the origin and the fold re-offsets every lane by its own corner
+  (per-lane VMEM corner rows — equal to the run's corner for in-run
+  lanes), so the cancellation error of the triple-product differences is
+  bounded by ~eps_f32 * (cell width + dilation) regardless of voxel
+  extent, and no per-window table adjustment is needed. Fold lanes
+  outside a run's [start, end) range are masked — their coordinates live
+  in a different cell's frame.
+
+- **Row-hoisted pass machinery.** The cell-local frame, the fold cross
+  products, and the runtime ladder LEVEL are per-lane quantities,
+  computed once per pass as (1, TILE) rows; the per-run scalar loop
+  keeps only the in-run mask, one masked cross-lane max (level of the
+  max reach == max of per-lane levels, a monotone step function), the
+  prefix-count extraction, and the fold loop.
 
 - **Per-block active gating.** After the first bounce pass of a step only
   a small fraction of spins are still unresolved; each 128-lane block
-  re-folds its runs only while it still has active spins (the resolve
-  writes per-block active counts to SMEM, and an inactive block's run
-  range collapses to empty via a scalar select).
+  re-runs its fold + reduce only while it still has active spins (the
+  resolve writes per-block active counts to SMEM, and ``pl.when`` skips
+  the whole block body — results land in scratch rows whose distance row
+  re-inits to +inf each pass, so skipped blocks resolve as no-hit).
 
 Reference behavior matched: disimpy/simulations.py:878-1013
 (_cuda_step_mesh resolves all of a walker's bounces locally with no global
@@ -252,21 +261,22 @@ def _epoch_run_tables(packed_s, next_end, J, start_s=None):
 
 
 def _kernel(bases_ref, starts_ref, packed_ref, packed2_ref, nexts_ref,
-            cx_ref, cy_ref, cz_ref, runlane_ref, runoff_ref, winK_ref,
+            corner_ref, runlane_ref, runoff_ref, winK_ref,
             meta_ref, pi_ref, pf_ref, pos_ref, dirs_ref, idrow_ref,
-            table_ref, out_ref, arena, sem, st, act, ubuf, crs, blkact,
-            ucnt, *, J, ablate=0, runtime_level=True, count_units=False,
-            fold_unroll=1, contig=True, pipeline=True):
+            table_ref, out_ref, arena, sem, st, act, ubuf, crs, dn,
+            blkact, ucnt, *, J, ablate=0, runtime_level=True,
+            count_units=False, fold_unroll=1, contig=True, pipeline=True):
     """One tile: J time steps, all bounces, windowed over the arena.
 
     Table rows are stored in CELL-LOCAL coordinates (the pack subtracts
-    each cell's corner from the affine features): the fold re-offsets a
-    run's spins by that run's corner (cx/cy/cz rows, constant within a
-    run), which bounds the f32 cancellation error of the feature dot
-    products to ~eps_f32 * (cell width + dilation) — independent of the
-    tile or voxel extent — and needs no per-window table adjustment.
-    Because coordinate frames differ per run, folds mask lanes outside
-    the run's [start, end) range instead of union-folding.
+    each cell's corner from the affine features): the fold re-offsets
+    every lane by ITS OWN cell corner (per-lane VMEM corner rows — equal
+    to the run corner for every in-run lane), which bounds the f32
+    cancellation error of the feature dot products to ~eps_f32 * (cell
+    width + dilation) — independent of the tile or voxel extent — and
+    needs no per-window table adjustment. Because coordinate frames
+    differ per run, folds mask lanes outside the run's [start, end)
+    range instead of union-folding.
 
     The run table is an INPUT (_epoch_run_tables): ``runlane_ref`` holds
     run k's start lane, ``runoff_ref`` its arena offset, ``winK_ref``
@@ -410,6 +420,18 @@ def _kernel(bases_ref, starts_ref, packed_ref, packed2_ref, nexts_ref,
         ``st``: Mosaic assigns sub-sublane ref-slice loads (st[3:4]) a
         replicated layout that its (1, N) -> (8, N) broadcast verifier
         rejects; value slices of a full load carry concrete layouts.
+
+        Everything per-lane is hoisted OUT of the per-run loop onto full
+        (1, TILE) rows computed once per pass: the cell-local frame
+        (per-lane corner rows), the fold cross products, and the runtime
+        ladder LEVEL (level(max reach) == max(per-lane levels), since
+        level is a monotone step function of reach — bit-identical
+        prefix selection). ``per_run`` keeps only SMEM loads, the
+        in-run mask, one masked cross-lane max, the prefix-count
+        extraction, and the fold loop; fold + reduce are skipped
+        entirely for settled lane blocks (results land in the ``dn``
+        scratch rows, whose d row re-inits to +inf each pass so skipped
+        blocks resolve as no-hit).
         """
         stv = st[...]
         x = stv[0:1]
@@ -421,147 +443,158 @@ def _kernel(bases_ref, starts_ref, packed_ref, packed2_ref, nexts_ref,
         remr = stv[6:7]
         av = act[...]
 
+        # Pass-level rows: every lane in its OWN cell frame (equal to the
+        # run frame for in-run lanes; out-of-run lanes are masked at fold
+        # time exactly as before).
+        cv = corner_ref[...]
+        xq = x - cv[0:1]
+        yq = y - cv[1:2]
+        zq = z - cv[2:3]
+        cxq = yq * dzr - zq * dyr
+        cyq = zq * dxr - xq * dzr
+        czq = xq * dyr - yq * dxr
+        if runtime_level:
+            # Reach of each active lane this pass: distance to its
+            # anchor-cell box plus the remaining segment; the per-lane
+            # ladder level counts the thresholds below reach + margin
+            # across BOTH ladders — the sub-step FINE thresholds (counts
+            # in packed2) then the dilation steps (counts in packed).
+            # Inactive lanes carry a -1 sentinel (fold nothing at all
+            # when a run has no active lane).
+            ex = jnp.maximum(jnp.maximum(-xq, xq - wcell[0]), 0.0)
+            ey = jnp.maximum(jnp.maximum(-yq, yq - wcell[1]), 0.0)
+            ez = jnp.maximum(jnp.maximum(-zq, zq - wcell[2]), 0.0)
+            req = jnp.sqrt(ex * ex + ey * ey + ez * ez) + remr + _REQ_MARGIN
+            lvlr = jnp.zeros((1, TILE), jnp.float32)
+            for fv in fine_vals:
+                lvlr = lvlr + (fv < req).astype(jnp.float32)
+            for l in range(s):
+                lvlr = lvlr + (dil_vals[l] < req).astype(jnp.float32)
+            lvlr = jnp.where(av > 0, lvlr, -1.0)
+        else:
+            lvlr = None
+
         sh_s = jnp.int32(s * BITS)
         liota = lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
-        d_blocks = []
-        n_blocks = []
+        dn[0:1, :] = jnp.full((1, TILE), _INF, jnp.float32)
         for q in range(NBLK):
             sl = slice(q * BLK, (q + 1) * BLK)
-            xb, yb, zb = x[:, sl], y[:, sl], z[:, sl]
-            dxb, dyb, dzb = dxr[:, sl], dyr[:, sl], dzr[:, sl]
-            remb, actb = remr[:, sl], av[:, sl]
             qbase = jnp.int32(q * BLK)
 
             # Active gating: pass 0 always folds; later passes skip blocks
-            # whose spins all settled (the run range collapses to empty).
-            # Block q's runs are the window range clipped to the block's
-            # precomputed tile-wide run range [rq0, rq1) (meta layout).
+            # whose spins all settled. Block q's runs are the window range
+            # clipped to the block's precomputed tile-wide run range
+            # [rq0, rq1) (meta layout).
             gate = (it == 0) | (blkact[0, q] > 0)
             lo_q = jnp.maximum(k0, meta_ref[0, 1 + q])
             hi_q = jnp.minimum(k1, meta_ref[0, 1 + NBLK + q])
-            r_lo = jnp.where(gate, lo_q, jnp.int32(0))
-            r_hi = jnp.where(gate, hi_q, jnp.int32(0))
+            have = gate & (hi_q > lo_q)
             if count_units:
-                ucnt[0, 1] = ucnt[0, 1] + (
-                    (gate & (r_hi > r_lo)).astype(jnp.int32)
+                ucnt[0, 1] = ucnt[0, 1] + have.astype(jnp.int32)
+
+            @pl.when(have)
+            def _(sl=sl, qbase=qbase, lo_q=lo_q, hi_q=hi_q):
+                xb, yb, zb = xq[:, sl], yq[:, sl], zq[:, sl]
+                dxb, dyb, dzb = dxr[:, sl], dyr[:, sl], dzr[:, sl]
+                cxb, cyb, czb = cxq[:, sl], cyq[:, sl], czq[:, sl]
+                lvlb = lvlr[:, sl] if runtime_level else None
+
+                def per_run(kk, acc):
+                    off = runoff_ref[0, kk]
+                    i0 = runlane_ref[0, kk]
+                    end = jnp.minimum(nexts_ref[0, i0] - tile_base, TILE)
+                    inrun = (liota >= i0 - qbase) & (liota < end - qbase)
+                    if runtime_level:
+                        # Smallest ladder prefix covering this (run x
+                        # block) segment's active lanes: max of the
+                        # per-lane levels (== the level of the max
+                        # reach).
+                        m = jnp.max(jnp.where(inrun, lvlb, -1.0))
+                        lvl = jnp.maximum(m, 0.0).astype(jnp.int32)
+                        sh_f = jnp.minimum(
+                            lvl, jnp.int32(NF - 1)
+                        ) * jnp.int32(BITS)
+                        sh_c = jnp.maximum(
+                            lvl - jnp.int32(NF), 0
+                        ) * jnp.int32(BITS)
+                        cnt_f = lax.shift_right_logical(
+                            packed2_ref[0, i0], sh_f
+                        ) & mask6
+                        cnt_c = lax.shift_right_logical(
+                            packed_ref[0, i0], sh_c
+                        ) & mask6
+                        cnt = jnp.where(lvl < NF, cnt_f, cnt_c)
+                        cnt = jnp.where(m < 0, jnp.int32(0), cnt)
+                    else:
+                        cnt = lax.shift_right_logical(
+                            packed_ref[0, i0], sh_s
+                        ) & mask6
+                    if count_units:
+                        ucnt[0, 0] = ucnt[0, 0] + cnt
+
+                    def fold(c, acc):
+                        return _fold_unit(
+                            arena[abase + off + c], inrun, xb, yb, zb,
+                            dxb, dyb, dzb, cxb, cyb, czb, acc,
+                        )
+
+                    if fold_unroll == 1:
+                        return lax.fori_loop(0, cnt, fold, acc)
+
+                    # Unrolled: fold_unroll units per loop iteration to
+                    # amortize the ~0.25 us Mosaic per-iteration
+                    # overhead. Tail indices clamp to the run's last
+                    # unit — duplicate folds are idempotent (strict `<`
+                    # on the min accumulators), so physics is
+                    # bit-identical and no masking is needed.
+                    last = jnp.maximum(cnt - 1, 0)
+
+                    def fold_u(c, acc):
+                        for k in range(fold_unroll):
+                            acc = fold(
+                                jnp.minimum(c * fold_unroll + k, last), acc
+                            )
+                        return acc
+
+                    n_it = (cnt + (fold_unroll - 1)) // fold_unroll
+                    return lax.fori_loop(0, n_it, fold_u, acc)
+
+                inf8 = jnp.full((8, BLK), _INF, jnp.float32)
+                zero8 = jnp.zeros((8, BLK), jnp.float32)
+                bd, n0, n1, n2 = lax.fori_loop(
+                    lo_q, hi_q, per_run, (inf8, zero8, zero8, zero8)
                 )
 
-            def per_run(kk, acc, xb=xb, yb=yb, zb=zb, dxb=dxb, dyb=dyb,
-                        dzb=dzb, remb=remb, actb=actb, qbase=qbase):
-                off = runoff_ref[0, kk]
-                # Run frame: spins relative to the run's cell corner, and
-                # lanes outside [start, end) masked (their coordinates are
-                # in a different cell's frame — never valid geometry).
-                i0 = runlane_ref[0, kk]
-                c0 = cx_ref[0, i0]
-                c1 = cy_ref[0, i0]
-                c2 = cz_ref[0, i0]
-                end = jnp.minimum(nexts_ref[0, i0] - tile_base, TILE)
-                inrun = (liota >= i0 - qbase) & (liota < end - qbase)
-                xq = xb - c0
-                yq = yb - c1
-                zq = zb - c2
-                if runtime_level:
-                    # Reach of this run's active spins this pass: distance
-                    # to the anchor-cell box plus the remaining segment.
-                    # Pick the smallest ladder prefix covering it across
-                    # BOTH ladders — the sub-step FINE thresholds (counts
-                    # in packed2) then the dilation steps (counts in
-                    # packed); -inf sentinel when the run has no active
-                    # lane -> fold nothing at all.
-                    ex = jnp.maximum(jnp.maximum(-xq, xq - wcell[0]), 0.0)
-                    ey = jnp.maximum(jnp.maximum(-yq, yq - wcell[1]), 0.0)
-                    ez = jnp.maximum(jnp.maximum(-zq, zq - wcell[2]), 0.0)
-                    reach = jnp.sqrt(ex * ex + ey * ey + ez * ez) + remb
-                    m = jnp.max(
-                        jnp.where(inrun & (actb > 0), reach, -1.0)
-                    )
-                    req = m + _REQ_MARGIN
-                    lvl = jnp.int32(0)
-                    for fv in fine_vals:
-                        lvl = lvl + (fv < req).astype(jnp.int32)
-                    for l in range(s):
-                        lvl = lvl + (dil_vals[l] < req).astype(jnp.int32)
-                    sh_f = jnp.minimum(lvl, jnp.int32(NF - 1)) * jnp.int32(
-                        BITS
-                    )
-                    sh_c = jnp.maximum(lvl - jnp.int32(NF), 0) * jnp.int32(
-                        BITS
-                    )
-                    cnt_f = lax.shift_right_logical(
-                        packed2_ref[0, i0], sh_f
-                    ) & mask6
-                    cnt_c = lax.shift_right_logical(
-                        packed_ref[0, i0], sh_c
-                    ) & mask6
-                    cnt = jnp.where(lvl < NF, cnt_f, cnt_c)
-                    cnt = jnp.where(m < 0, jnp.int32(0), cnt)
-                else:
-                    cnt = lax.shift_right_logical(
-                        packed_ref[0, i0], sh_s
-                    ) & mask6
-                if count_units:
-                    ucnt[0, 0] = ucnt[0, 0] + cnt
-                cxq = yq * dzb - zq * dyb
-                cyq = zq * dxb - xq * dzb
-                czq = xq * dyb - yq * dxb
-
-                def fold(c, acc):
-                    return _fold_unit(
-                        arena[abase + off + c], inrun, xq, yq, zq, dxb,
-                        dyb, dzb,
-                        cxq, cyq, czq, acc,
-                    )
-
-                if fold_unroll == 1:
-                    return lax.fori_loop(0, cnt, fold, acc)
-
-                # Unrolled: fold_unroll units per loop iteration to
-                # amortize the ~0.25 us Mosaic per-iteration overhead.
-                # Tail indices clamp to the run's last unit — duplicate
-                # folds are idempotent (strict `<` on the min
-                # accumulators), so physics is bit-identical and no
-                # masking is needed.
-                last = jnp.maximum(cnt - 1, 0)
-
-                def fold_u(c, acc):
-                    for k in range(fold_unroll):
-                        acc = fold(
-                            jnp.minimum(c * fold_unroll + k, last), acc
-                        )
-                    return acc
-
-                n_it = (cnt + (fold_unroll - 1)) // fold_unroll
-                return lax.fori_loop(0, n_it, fold_u, acc)
-
-            inf8 = jnp.full((8, BLK), _INF, jnp.float32)
-            zero8 = jnp.zeros((8, BLK), jnp.float32)
-            bd, n0, n1, n2 = lax.fori_loop(
-                r_lo, r_hi, per_run, (inf8, zero8, zero8, zero8)
-            )
-
-            # Sublane reduce: min distance, first-minimal-row tie-break,
-            # normal pick — all on (8, BLK) -> (1, BLK).
-            db = jnp.min(bd, axis=0, keepdims=True)
-            is_min = bd == db
-            row = jnp.min(
-                jnp.where(is_min, sub8, jnp.int32(8)), axis=0, keepdims=True
-            )
-            sel = is_min & (sub8 == row) & (db != _INF)
-            nxb = jnp.sum(jnp.where(sel, n0, 0.0), axis=0, keepdims=True)
-            nyb = jnp.sum(jnp.where(sel, n1, 0.0), axis=0, keepdims=True)
-            nzb = jnp.sum(jnp.where(sel, n2, 0.0), axis=0, keepdims=True)
-            d_blocks.append(db)
-            n_blocks.append((nxb, nyb, nzb))
+                # Sublane reduce: min distance, first-minimal-row
+                # tie-break, normal pick — all on (8, BLK) -> (1, BLK),
+                # written to the dn scratch rows.
+                db = jnp.min(bd, axis=0, keepdims=True)
+                dn[0:1, sl] = db
+                if parts == 1:
+                    return
+                is_min = bd == db
+                row = jnp.min(
+                    jnp.where(is_min, sub8, jnp.int32(8)), axis=0,
+                    keepdims=True,
+                )
+                sel = is_min & (sub8 == row) & (db != _INF)
+                dn[1:2, sl] = jnp.sum(
+                    jnp.where(sel, n0, 0.0), axis=0, keepdims=True
+                )
+                dn[2:3, sl] = jnp.sum(
+                    jnp.where(sel, n1, 0.0), axis=0, keepdims=True
+                )
+                dn[3:4, sl] = jnp.sum(
+                    jnp.where(sel, n2, 0.0), axis=0, keepdims=True
+                )
         if parts == 1:
-            # debug: park the fold results so they are not dead code
-            st[7:8] = st[7:8] + 0.0 * jnp.concatenate(d_blocks, axis=1)
             return
 
-        d = jnp.concatenate(d_blocks, axis=1)
-        nx = jnp.concatenate([n[0] for n in n_blocks], axis=1)
-        ny = jnp.concatenate([n[1] for n in n_blocks], axis=1)
-        nz = jnp.concatenate([n[2] for n in n_blocks], axis=1)
+        dnv = dn[...]
+        d = dnv[0:1]
+        nx = dnv[1:2]
+        ny = dnv[2:3]
+        nz = dnv[3:4]
         # stored N is unnormalized (E1 x E2); reflection needs unit length
         rn = lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
         nx, ny, nz = nx * rn, ny * rn, nz * rn
@@ -781,6 +814,9 @@ def _kernel(bases_ref, starts_ref, packed_ref, packed2_ref, nexts_ref,
     act[...] = jnp.zeros((1, TILE), jnp.float32)
     ubuf[...] = jnp.ones((1, TILE), jnp.float32)
     crs[...] = jnp.zeros((1, TILE), jnp.float32)
+    # dn d-row re-inits every pass; the normal rows only need to start
+    # finite (skipped blocks' stale values are where-gated on d < inf).
+    dn[1:4, :] = jnp.zeros((3, TILE), jnp.float32)
     if count_units:
         ucnt[0, 0] = jnp.int32(0)
         ucnt[0, 1] = jnp.int32(0)
@@ -825,9 +861,8 @@ def _launch(bases, starts, packed, packed2, nexts, corner, runlane, runoff,
             smem_row,  # packed
             smem_row,  # packed2 (fine-ladder prefix counts)
             smem_row,  # nexts
-            smem_row,  # corner x
-            smem_row,  # corner y
-            smem_row,  # corner z
+            pl.BlockSpec((3, TILE), lambda t, b: (0, t),
+                         memory_space=pltpu.VMEM),  # per-lane cell corners
             smem_row,  # run start lanes
             smem_row,  # run arena offsets
             smem_row,  # per-window first run index (winK)
@@ -854,6 +889,7 @@ def _launch(bases, starts, packed, packed2, nexts, corner, runlane, runoff,
             pltpu.VMEM((1, TILE), jnp.float32),
             pltpu.VMEM((1, TILE), jnp.float32),
             pltpu.VMEM((1, TILE), jnp.float32),
+            pltpu.VMEM((4, TILE), jnp.float32),  # dn: pass d + normals
             pltpu.SMEM((1, NBLK), jnp.int32),
             pltpu.SMEM((1, 2), jnp.int32),
         ],
@@ -868,7 +904,7 @@ def _launch(bases, starts, packed, packed2, nexts, corner, runlane, runoff,
         interpret=interpret,
     )(bases,
       starts[None, :], packed[None, :], packed2[None, :], nexts[None, :],
-      corner[0][None, :], corner[1][None, :], corner[2][None, :],
+      corner,
       runlane[None, :], runoff[None, :], winK[None, :], meta[None, :],
       params_i, params_f, pos, dirs, ids[None, :], table)
 
