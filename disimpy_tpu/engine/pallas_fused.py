@@ -176,10 +176,12 @@ def _epoch_run_tables(packed_s, next_end, J, start_s=None):
     holds window w's first run index (entries >= the window count read R,
     so the kernel's ``k1 = winK[w + 1]`` lookup needs no masking) —
     ``meta`` of shape (n,) packing per tile [R, rq0 x NBLK, rq1 x NBLK,
-    W, 0 pad] in the leading lanes, where [rq0[q], rq1[q]) is the
-    contiguous range of runs overlapping lane block q (runs are
-    lane-ordered) and W is the window count — and ``bases`` of shape
-    (n_tiles,): each tile's window-0 DMA base row (-1 when runless).
+    W, blkrun x NBLK, 0 pad] in the leading lanes, where [rq0[q], rq1[q])
+    is the contiguous range of runs overlapping lane block q (runs are
+    lane-ordered), W is the window count, and blkrun[q] is the single run
+    overlapping block q (-1 none, -2 several: ragged fallback) — and
+    ``bases`` of shape (n_tiles,): each tile's window-0 DMA base row (-1
+    when runless).
     """
     n = packed_s.shape[0]
     n_tiles = n // TILE
@@ -243,6 +245,18 @@ def _epoch_run_tables(packed_s, next_end, J, start_s=None):
             (valid & (runlane < (q + 1) * BLK)).astype(jnp.int32), axis=1
         ))
     cols.append(W)
+    # Per lane block: the SINGLE run overlapping it (fast path: the
+    # kernel folds it with no per-run loop), -1 when no run touches the
+    # block, -2 when several do (ragged fallback). With gap-aligned
+    # epoch layouts nearly every block is single-run.
+    for q in range(NBLK):
+        ov = valid & (runlane < (q + 1) * BLK) & (runend > q * BLK)
+        n_ov = jnp.sum(ov.astype(jnp.int32), axis=1)
+        k_only = jnp.sum(jnp.where(ov, k_iota, 0), axis=1)
+        cols.append(jnp.where(
+            n_ov == 0, jnp.int32(-1),
+            jnp.where(n_ov == 1, k_only, jnp.int32(-2)),
+        ))
     # Meta rides a fourth (1, TILE)-shaped SMEM row (Pallas SMEM blocks
     # must span the array's leading dim): lane j of tile t holds meta
     # column j, lanes >= 2*NBLK + 2 are padding.
@@ -477,22 +491,130 @@ def _kernel(bases_ref, starts_ref, packed_ref, packed2_ref, nexts_ref,
         sh_s = jnp.int32(s * BITS)
         liota = lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
         dn[0:1, :] = jnp.full((1, TILE), _INF, jnp.float32)
+
+        def _cnt_for(i0, inrun, lvlb):
+            """Selected unit count for one run against one lane block."""
+            if runtime_level:
+                # Smallest ladder prefix covering this (run x block)
+                # segment's active lanes: max of the per-lane levels
+                # (== the level of the max reach).
+                m = jnp.max(jnp.where(inrun, lvlb, -1.0))
+                lvl = jnp.maximum(m, 0.0).astype(jnp.int32)
+                sh_f = jnp.minimum(
+                    lvl, jnp.int32(NF - 1)
+                ) * jnp.int32(BITS)
+                sh_c = jnp.maximum(
+                    lvl - jnp.int32(NF), 0
+                ) * jnp.int32(BITS)
+                cnt_f = lax.shift_right_logical(
+                    packed2_ref[0, i0], sh_f
+                ) & mask6
+                cnt_c = lax.shift_right_logical(
+                    packed_ref[0, i0], sh_c
+                ) & mask6
+                cnt = jnp.where(lvl < NF, cnt_f, cnt_c)
+                cnt = jnp.where(m < 0, jnp.int32(0), cnt)
+            else:
+                cnt = lax.shift_right_logical(
+                    packed_ref[0, i0], sh_s
+                ) & mask6
+            if count_units:
+                ucnt[0, 0] = ucnt[0, 0] + cnt
+            return cnt
+
+        def _fold_cnt(off, cnt, inrun, xb, yb, zb, dxb, dyb, dzb,
+                      cxb, cyb, czb, acc):
+            """Fold ``cnt`` units of the run at arena offset ``off``."""
+            def fold(c, acc):
+                return _fold_unit(
+                    arena[abase + off + c], inrun, xb, yb, zb,
+                    dxb, dyb, dzb, cxb, cyb, czb, acc,
+                )
+
+            if fold_unroll == 1:
+                return lax.fori_loop(0, cnt, fold, acc)
+
+            # Unrolled: fold_unroll units per loop iteration to amortize
+            # the ~0.25 us Mosaic per-iteration overhead. Tail indices
+            # clamp to the run's last unit — duplicate folds are
+            # idempotent (strict `<` on the min accumulators), so physics
+            # is bit-identical and no masking is needed.
+            last = jnp.maximum(cnt - 1, 0)
+
+            def fold_u(c, acc):
+                for k in range(fold_unroll):
+                    acc = fold(
+                        jnp.minimum(c * fold_unroll + k, last), acc
+                    )
+                return acc
+
+            n_it = (cnt + (fold_unroll - 1)) // fold_unroll
+            return lax.fori_loop(0, n_it, fold_u, acc)
+
+        def _reduce_write(bd, n0, n1, n2, sl):
+            """Sublane reduce: min distance, first-minimal-row tie-break,
+            normal pick — all on (8, BLK) -> (1, BLK), written to the dn
+            scratch rows."""
+            db = jnp.min(bd, axis=0, keepdims=True)
+            dn[0:1, sl] = db
+            if parts == 1:
+                return
+            is_min = bd == db
+            row = jnp.min(
+                jnp.where(is_min, sub8, jnp.int32(8)), axis=0,
+                keepdims=True,
+            )
+            sel = is_min & (sub8 == row) & (db != _INF)
+            dn[1:2, sl] = jnp.sum(
+                jnp.where(sel, n0, 0.0), axis=0, keepdims=True
+            )
+            dn[2:3, sl] = jnp.sum(
+                jnp.where(sel, n1, 0.0), axis=0, keepdims=True
+            )
+            dn[3:4, sl] = jnp.sum(
+                jnp.where(sel, n2, 0.0), axis=0, keepdims=True
+            )
+
         for q in range(NBLK):
             sl = slice(q * BLK, (q + 1) * BLK)
             qbase = jnp.int32(q * BLK)
 
             # Active gating: pass 0 always folds; later passes skip blocks
-            # whose spins all settled. Block q's runs are the window range
-            # clipped to the block's precomputed tile-wide run range
-            # [rq0, rq1) (meta layout).
+            # whose spins all settled. A block overlapped by exactly ONE
+            # run (meta blkrun >= 0 — the common case, and the only case
+            # under gap-aligned layouts) folds it with no per-run loop;
+            # several overlapping runs (-2) fall back to the fori over the
+            # window range clipped to the block's precomputed tile-wide
+            # run range [rq0, rq1) (meta layout).
             gate = (it == 0) | (blkact[0, q] > 0)
+            kb = meta_ref[0, 2 + 2 * NBLK + q]
+            fast = gate & (kb >= k0) & (kb < k1)
             lo_q = jnp.maximum(k0, meta_ref[0, 1 + q])
             hi_q = jnp.minimum(k1, meta_ref[0, 1 + NBLK + q])
-            have = gate & (hi_q > lo_q)
+            ragged = gate & (kb == jnp.int32(-2)) & (hi_q > lo_q)
             if count_units:
-                ucnt[0, 1] = ucnt[0, 1] + have.astype(jnp.int32)
+                ucnt[0, 1] = ucnt[0, 1] + (fast | ragged).astype(jnp.int32)
 
-            @pl.when(have)
+            @pl.when(fast)
+            def _(sl=sl, qbase=qbase, kb=kb):
+                xb, yb, zb = xq[:, sl], yq[:, sl], zq[:, sl]
+                dxb, dyb, dzb = dxr[:, sl], dyr[:, sl], dzr[:, sl]
+                cxb, cyb, czb = cxq[:, sl], cyq[:, sl], czq[:, sl]
+                lvlb = lvlr[:, sl] if runtime_level else None
+                i0 = runlane_ref[0, kb]
+                off = runoff_ref[0, kb]
+                end = jnp.minimum(nexts_ref[0, i0] - tile_base, TILE)
+                inrun = (liota >= i0 - qbase) & (liota < end - qbase)
+                cnt = _cnt_for(i0, inrun, lvlb)
+                inf8 = jnp.full((8, BLK), _INF, jnp.float32)
+                zero8 = jnp.zeros((8, BLK), jnp.float32)
+                bd, n0, n1, n2 = _fold_cnt(
+                    off, cnt, inrun, xb, yb, zb, dxb, dyb, dzb,
+                    cxb, cyb, czb, (inf8, zero8, zero8, zero8),
+                )
+                _reduce_write(bd, n0, n1, n2, sl)
+
+            @pl.when(ragged)
             def _(sl=sl, qbase=qbase, lo_q=lo_q, hi_q=hi_q):
                 xb, yb, zb = xq[:, sl], yq[:, sl], zq[:, sl]
                 dxb, dyb, dzb = dxr[:, sl], dyr[:, sl], dzr[:, sl]
@@ -504,89 +626,18 @@ def _kernel(bases_ref, starts_ref, packed_ref, packed2_ref, nexts_ref,
                     i0 = runlane_ref[0, kk]
                     end = jnp.minimum(nexts_ref[0, i0] - tile_base, TILE)
                     inrun = (liota >= i0 - qbase) & (liota < end - qbase)
-                    if runtime_level:
-                        # Smallest ladder prefix covering this (run x
-                        # block) segment's active lanes: max of the
-                        # per-lane levels (== the level of the max
-                        # reach).
-                        m = jnp.max(jnp.where(inrun, lvlb, -1.0))
-                        lvl = jnp.maximum(m, 0.0).astype(jnp.int32)
-                        sh_f = jnp.minimum(
-                            lvl, jnp.int32(NF - 1)
-                        ) * jnp.int32(BITS)
-                        sh_c = jnp.maximum(
-                            lvl - jnp.int32(NF), 0
-                        ) * jnp.int32(BITS)
-                        cnt_f = lax.shift_right_logical(
-                            packed2_ref[0, i0], sh_f
-                        ) & mask6
-                        cnt_c = lax.shift_right_logical(
-                            packed_ref[0, i0], sh_c
-                        ) & mask6
-                        cnt = jnp.where(lvl < NF, cnt_f, cnt_c)
-                        cnt = jnp.where(m < 0, jnp.int32(0), cnt)
-                    else:
-                        cnt = lax.shift_right_logical(
-                            packed_ref[0, i0], sh_s
-                        ) & mask6
-                    if count_units:
-                        ucnt[0, 0] = ucnt[0, 0] + cnt
-
-                    def fold(c, acc):
-                        return _fold_unit(
-                            arena[abase + off + c], inrun, xb, yb, zb,
-                            dxb, dyb, dzb, cxb, cyb, czb, acc,
-                        )
-
-                    if fold_unroll == 1:
-                        return lax.fori_loop(0, cnt, fold, acc)
-
-                    # Unrolled: fold_unroll units per loop iteration to
-                    # amortize the ~0.25 us Mosaic per-iteration
-                    # overhead. Tail indices clamp to the run's last
-                    # unit — duplicate folds are idempotent (strict `<`
-                    # on the min accumulators), so physics is
-                    # bit-identical and no masking is needed.
-                    last = jnp.maximum(cnt - 1, 0)
-
-                    def fold_u(c, acc):
-                        for k in range(fold_unroll):
-                            acc = fold(
-                                jnp.minimum(c * fold_unroll + k, last), acc
-                            )
-                        return acc
-
-                    n_it = (cnt + (fold_unroll - 1)) // fold_unroll
-                    return lax.fori_loop(0, n_it, fold_u, acc)
+                    cnt = _cnt_for(i0, inrun, lvlb)
+                    return _fold_cnt(
+                        off, cnt, inrun, xb, yb, zb, dxb, dyb, dzb,
+                        cxb, cyb, czb, acc,
+                    )
 
                 inf8 = jnp.full((8, BLK), _INF, jnp.float32)
                 zero8 = jnp.zeros((8, BLK), jnp.float32)
                 bd, n0, n1, n2 = lax.fori_loop(
                     lo_q, hi_q, per_run, (inf8, zero8, zero8, zero8)
                 )
-
-                # Sublane reduce: min distance, first-minimal-row
-                # tie-break, normal pick — all on (8, BLK) -> (1, BLK),
-                # written to the dn scratch rows.
-                db = jnp.min(bd, axis=0, keepdims=True)
-                dn[0:1, sl] = db
-                if parts == 1:
-                    return
-                is_min = bd == db
-                row = jnp.min(
-                    jnp.where(is_min, sub8, jnp.int32(8)), axis=0,
-                    keepdims=True,
-                )
-                sel = is_min & (sub8 == row) & (db != _INF)
-                dn[1:2, sl] = jnp.sum(
-                    jnp.where(sel, n0, 0.0), axis=0, keepdims=True
-                )
-                dn[2:3, sl] = jnp.sum(
-                    jnp.where(sel, n1, 0.0), axis=0, keepdims=True
-                )
-                dn[3:4, sl] = jnp.sum(
-                    jnp.where(sel, n2, 0.0), axis=0, keepdims=True
-                )
+                _reduce_write(bd, n0, n1, n2, sl)
         if parts == 1:
             return
 

@@ -322,11 +322,23 @@ def test_epoch_run_tables_invariants(contig):
         # Per-block ranges bracket exactly the overlapping runs.
         for q in range(NBLK):
             lo, hi = int(meta[t, 1 + q]), int(meta[t, 1 + NBLK + q])
+            ov = []
             for k in range(R):
                 l0 = int(runlane[t, k])
                 end = min(int(nxt[base + l0]) - base, TILE)
                 overlaps = l0 < (q + 1) * BLK and end > q * BLK
                 assert (lo <= k < hi) == overlaps, (t, q, k)
+                if overlaps:
+                    ov.append(k)
+            # blkrun: the single overlapping run (kernel fast path), -1
+            # when none, -2 when several (ragged fallback).
+            kb = int(meta[t, 2 + 2 * NBLK + q])
+            if len(ov) == 0:
+                assert kb == -1, (t, q)
+            elif len(ov) == 1:
+                assert kb == ov[0], (t, q)
+            else:
+                assert kb == -2, (t, q)
 
 
 # ---------------------------------------------------------------------------
