@@ -54,6 +54,14 @@ fused_dma_mode = "contig"
 # spins): 1 -> 43.05, 2 -> 40.94, 4 -> 43.13 ms/step (mean selected
 # prefix is ~2.2 units, so unroll 4 mostly re-folds the last unit).
 fused_fold_unroll = 2
+# Single-run-per-block fast path: a 128-lane block overlapped by exactly
+# one run folds it with no per-run fori loop (meta blkrun >= 0); blocks
+# overlapped by several runs take the ragged per-run fallback. Pays off
+# only when most blocks are single-run (block-aligned epoch layouts);
+# on ragged layouts the extra branch + meta loads measured as a net
+# regression (round-4 snapshot: 5.71 -> 6.27 s on the 150-step bundle),
+# so the default is off unless alignment is on.
+fused_blkfast = False
 # When True (single-device fused runs only), the kernel counts folded
 # 64-triangle units and gated block-passes; the driver accumulates them in
 # simulations._STREAM_DIAG. Costs one extra kernel variant compile.

@@ -680,12 +680,12 @@ def _run_ends(keys):
 
 @partial(jax.jit, static_argnames=("interpret", "track", "ablate",
                                    "runtime_level", "count_units",
-                                   "fold_unroll", "contig"))
+                                   "fold_unroll", "contig", "blkfast"))
 def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
                      epsilon, max_iter, interpret=False, id_base=0,
                      track=False, compartments=None, ablate=0,
                      runtime_level=True, count_units=False, fold_unroll=1,
-                     contig=True):
+                     contig=True, blkfast=False):
     """Advance the ensemble through the window ``ts`` with the fused engine.
 
     Arguments mirror engine.core.run_window (positions (3, n) true
@@ -817,7 +817,7 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
             next_end, corner_s, t_base, n_valid_steps, seed_k, epsilon,
             max_iter, interpret=interpret, ablate=ablate,
             runtime_level=runtime_level, count_units=count_units,
-            fold_unroll=fold_unroll, contig=contig,
+            fold_unroll=fold_unroll, contig=contig, blkfast=blkfast,
         )
         pos_steps, exc_bits, cross_steps = eout[:3]
         if count_units:
@@ -894,7 +894,7 @@ def run_window_fused_sharded(device_mesh, spec, positions, phases, iter_exc,
                              g_eff, ts, seed32, epsilon, max_iter,
                              interpret=False, track=False, compartments=None,
                              ablate=0, runtime_level=True, fold_unroll=1,
-                             contig=True):
+                             contig=True, blkfast=False):
     """Shard-mapped fused window: per-shard sorts and kernel launches.
 
     Spins are embarrassingly parallel, so the whole fused pipeline (epoch
@@ -919,7 +919,7 @@ def run_window_fused_sharded(device_mesh, spec, positions, phases, iter_exc,
             interpret=interpret, id_base=id_base, track=track,
             compartments=comp if track else None, ablate=ablate,
             runtime_level=runtime_level, fold_unroll=fold_unroll,
-            contig=contig,
+            contig=contig, blkfast=blkfast,
         )
         (p2, ph2, e2) = out[0]
         return (p2, ph2, e2) + (out[2] if track else ())

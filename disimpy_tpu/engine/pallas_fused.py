@@ -279,7 +279,8 @@ def _kernel(bases_ref, starts_ref, packed_ref, packed2_ref, nexts_ref,
             meta_ref, pi_ref, pf_ref, pos_ref, dirs_ref, idrow_ref,
             table_ref, out_ref, arena, sem, st, act, ubuf, crs, dn,
             blkact, ucnt, *, J, ablate=0, runtime_level=True,
-            count_units=False, fold_unroll=1, contig=True, pipeline=True):
+            count_units=False, fold_unroll=1, contig=True, pipeline=True,
+            blkfast=False):
     """One tile: J time steps, all bounces, windowed over the arena.
 
     Table rows are stored in CELL-LOCAL coordinates (the pack subtracts
@@ -580,39 +581,47 @@ def _kernel(bases_ref, starts_ref, packed_ref, packed2_ref, nexts_ref,
             qbase = jnp.int32(q * BLK)
 
             # Active gating: pass 0 always folds; later passes skip blocks
-            # whose spins all settled. A block overlapped by exactly ONE
-            # run (meta blkrun >= 0 — the common case, and the only case
-            # under gap-aligned layouts) folds it with no per-run loop;
-            # several overlapping runs (-2) fall back to the fori over the
-            # window range clipped to the block's precomputed tile-wide
-            # run range [rq0, rq1) (meta layout).
+            # whose spins all settled. With ``blkfast`` (static knob,
+            # config.fused_blkfast): a block overlapped by exactly ONE run
+            # (meta blkrun >= 0 — the dominant case under gap-aligned
+            # layouts) folds it with no per-run loop; several overlapping
+            # runs (-2) fall back to the fori over the window range
+            # clipped to the block's precomputed tile-wide run range
+            # [rq0, rq1) (meta layout). Without it, every gated block
+            # takes the per-run fori (the round-4 validated behavior).
             gate = (it == 0) | (blkact[0, q] > 0)
-            kb = meta_ref[0, 2 + 2 * NBLK + q]
-            fast = gate & (kb >= k0) & (kb < k1)
             lo_q = jnp.maximum(k0, meta_ref[0, 1 + q])
             hi_q = jnp.minimum(k1, meta_ref[0, 1 + NBLK + q])
-            ragged = gate & (kb == jnp.int32(-2)) & (hi_q > lo_q)
+            if blkfast:
+                kb = meta_ref[0, 2 + 2 * NBLK + q]
+                fast = gate & (kb >= k0) & (kb < k1)
+                ragged = gate & (kb == jnp.int32(-2)) & (hi_q > lo_q)
+            else:
+                fast = None
+                ragged = gate & (hi_q > lo_q)
             if count_units:
-                ucnt[0, 1] = ucnt[0, 1] + (fast | ragged).astype(jnp.int32)
+                gated = ragged if fast is None else (fast | ragged)
+                ucnt[0, 1] = ucnt[0, 1] + gated.astype(jnp.int32)
 
-            @pl.when(fast)
-            def _(sl=sl, qbase=qbase, kb=kb):
-                xb, yb, zb = xq[:, sl], yq[:, sl], zq[:, sl]
-                dxb, dyb, dzb = dxr[:, sl], dyr[:, sl], dzr[:, sl]
-                cxb, cyb, czb = cxq[:, sl], cyq[:, sl], czq[:, sl]
-                lvlb = lvlr[:, sl] if runtime_level else None
-                i0 = runlane_ref[0, kb]
-                off = runoff_ref[0, kb]
-                end = jnp.minimum(nexts_ref[0, i0] - tile_base, TILE)
-                inrun = (liota >= i0 - qbase) & (liota < end - qbase)
-                cnt = _cnt_for(i0, inrun, lvlb)
-                inf8 = jnp.full((8, BLK), _INF, jnp.float32)
-                zero8 = jnp.zeros((8, BLK), jnp.float32)
-                bd, n0, n1, n2 = _fold_cnt(
-                    off, cnt, inrun, xb, yb, zb, dxb, dyb, dzb,
-                    cxb, cyb, czb, (inf8, zero8, zero8, zero8),
-                )
-                _reduce_write(bd, n0, n1, n2, sl)
+            if blkfast:
+                @pl.when(fast)
+                def _(sl=sl, qbase=qbase, kb=kb):
+                    xb, yb, zb = xq[:, sl], yq[:, sl], zq[:, sl]
+                    dxb, dyb, dzb = dxr[:, sl], dyr[:, sl], dzr[:, sl]
+                    cxb, cyb, czb = cxq[:, sl], cyq[:, sl], czq[:, sl]
+                    lvlb = lvlr[:, sl] if runtime_level else None
+                    i0 = runlane_ref[0, kb]
+                    off = runoff_ref[0, kb]
+                    end = jnp.minimum(nexts_ref[0, i0] - tile_base, TILE)
+                    inrun = (liota >= i0 - qbase) & (liota < end - qbase)
+                    cnt = _cnt_for(i0, inrun, lvlb)
+                    inf8 = jnp.full((8, BLK), _INF, jnp.float32)
+                    zero8 = jnp.zeros((8, BLK), jnp.float32)
+                    bd, n0, n1, n2 = _fold_cnt(
+                        off, cnt, inrun, xb, yb, zb, dxb, dyb, dzb,
+                        cxb, cyb, czb, (inf8, zero8, zero8, zero8),
+                    )
+                    _reduce_write(bd, n0, n1, n2, sl)
 
             @pl.when(ragged)
             def _(sl=sl, qbase=qbase, lo_q=lo_q, hi_q=hi_q):
@@ -889,11 +898,11 @@ def _kernel(bases_ref, starts_ref, packed_ref, packed2_ref, nexts_ref,
 
 @partial(jax.jit, static_argnames=("n_steps", "interpret", "ablate",
                                    "runtime_level", "count_units",
-                                   "fold_unroll", "contig"))
+                                   "fold_unroll", "contig", "blkfast"))
 def _launch(bases, starts, packed, packed2, nexts, corner, runlane, runoff,
             winK, meta, params_i, params_f, pos, dirs, ids, table,
             n_steps, interpret=False, ablate=0, runtime_level=True,
-            count_units=False, fold_unroll=1, contig=True):
+            count_units=False, fold_unroll=1, contig=True, blkfast=False):
     n_pad = pos.shape[1]
     n_tiles = n_pad // TILE
     J = n_steps
@@ -949,7 +958,7 @@ def _launch(bases, starts, packed, packed2, nexts, corner, runlane, runoff,
         partial(_kernel, J=J, ablate=ablate,
                 runtime_level=runtime_level, count_units=count_units,
                 fold_unroll=fold_unroll, contig=contig,
-                pipeline=pipeline),
+                pipeline=pipeline, blkfast=blkfast),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out, n_pad), jnp.float32),
         interpret=interpret,
@@ -963,7 +972,8 @@ def _launch(bases, starts, packed, packed2, nexts, corner, runlane, runoff,
 def fused_epoch(spec, pos_s, dirs, ids_s, start_s, packed_s, packed2_s,
                 next_end, corner_s, t_base, n_valid_steps, seed32, epsilon,
                 max_iter, interpret=False, ablate=0, runtime_level=True,
-                count_units=False, fold_unroll=1, contig=True):
+                count_units=False, fold_unroll=1, contig=True,
+                blkfast=False):
     """Run one epoch (J steps) of mesh physics on epoch-sorted state.
 
     pos_s: (3, n) float32 positions wrapped into the home periodic image;
@@ -1028,7 +1038,7 @@ def fused_epoch(spec, pos_s, dirs, ids_s, start_s, packed_s, packed2_s,
         runoff, winK, meta, params_i, params_f, pos_s, dirs_in, ids_s,
         spec.table, n_steps=J, interpret=interpret, ablate=ablate,
         runtime_level=runtime_level, count_units=count_units,
-        fold_unroll=fold_unroll, contig=contig,
+        fold_unroll=fold_unroll, contig=contig, blkfast=blkfast,
     )
     steps = out[:4 * J].reshape(J, 4, n)
     pos_steps = steps[:, 0:3, :]  # (J, 3, n)

@@ -777,6 +777,7 @@ def simulation(
                     runtime_level=engine_config.fused_runtime_level,
                     fold_unroll=engine_config.fused_fold_unroll,
                     contig=engine_config.fused_dma_mode == "contig",
+                    blkfast=engine_config.fused_blkfast,
                 )
             else:
                 out = fused.run_window_fused(
@@ -797,6 +798,7 @@ def simulation(
                     count_units=count_units,
                     fold_unroll=engine_config.fused_fold_unroll,
                     contig=engine_config.fused_dma_mode == "contig",
+                    blkfast=engine_config.fused_blkfast,
                 )
             if count_units:
                 diag = out[-1]

@@ -512,16 +512,18 @@ def test_fold_unroll_bit_identical():
             final_pos=True,
         )
 
+    prior_unroll = config.fused_fold_unroll
     try:
         config.use_fused = True
         config.pallas_interpret = True
+        config.fused_fold_unroll = 1
         s1, p1 = run()
         config.fused_fold_unroll = 2
         s2, p2 = run()
         config.fused_fold_unroll = 4
         s4, p4 = run()
     finally:
-        config.fused_fold_unroll = 1
+        config.fused_fold_unroll = prior_unroll
         config.use_fused = None
         config.pallas_interpret = False
     npt.assert_array_equal(p1, p2)
@@ -561,6 +563,90 @@ def test_dma_mode_bit_identical():
         config.pallas_interpret = False
     npt.assert_array_equal(p_c, p_r)
     npt.assert_array_equal(s_c, s_r)
+
+
+def test_blkfast_bit_identical():
+    """The single-run-per-block fast path (config.fused_blkfast) must be
+    bit-identical to the per-run ragged loop, on a constructed layout
+    that forces BOTH fast (meta blkrun >= 0) and ragged (-2) blocks in
+    the same window."""
+    from disimpy_tpu.engine import fused as fz
+    from disimpy_tpu.engine import pallas_fused as pf
+
+    n_t = 16
+    gradient = np.zeros((1, n_t, 3))
+    gradient[:, 1:-1, 0] = 1e-3
+    dt, diffusivity = 2e-4, 2e-9
+    step_l = float(np.sqrt(6 * diffusivity * dt))
+    vertices, faces = meshes.icosphere(radius=5e-6, subdivisions=1)
+
+    # Pack at a pinned cell width so the constructed layout below uses
+    # the same grid the simulation will run on.
+    probe = substrates.mesh(
+        vertices, faces, periodic=True, n_sv=np.array([2, 2, 2]), quiet=True,
+    )
+    spec = fz.pack_fused(probe, 1.0 / step_l, cell_steps=2.0, n_hint=512)
+    n_sv = np.array(spec.n_sv)
+    assert n_sv[0] >= 2 and n_sv[2] >= 2
+    sv_w = np.asarray(spec.sv_width) * step_l  # metres
+
+    # One 512-lane tile: 256 spins in one cell -> blocks 0-1 single-run
+    # (fast), 64 + 64 spins in two further cells -> block 2 two runs
+    # (ragged), 128 in a fourth cell -> block 3 single-run (fast). Cell
+    # ids must be ascending in flat (x, y, z) order so the epoch sort
+    # keeps the groups in construction order.
+    rng = np.random.RandomState(7)
+
+    def cell_pts(c, k):
+        lo = np.array(c) * sv_w
+        return lo + rng.uniform(0.15, 0.85, size=(k, 3)) * sv_w
+
+    init = np.concatenate([
+        cell_pts((0, 0, 0), 256),
+        cell_pts((0, 0, 1), 64),
+        cell_pts((0, 1, 0) if n_sv[1] >= 2 else (0, 0, 2), 64),
+        cell_pts((1, 0, 0), 128),
+    ])
+
+    # Verify the constructed epoch-0 layout really has both block kinds.
+    pos_steps = jnp.asarray(init.T / step_l, jnp.float32)
+    cell, start, packed, packed2, _ = fz._cell_keys(spec, pos_steps)
+    order = np.argsort(np.asarray(cell), kind="stable")
+    next_end = fz._run_ends(jnp.asarray(np.asarray(cell)[order]))
+    _, _, _, meta, _ = pf._epoch_run_tables(
+        jnp.asarray(np.asarray(packed)[order]), next_end,
+        spec.resort_every,
+        start_s=jnp.asarray(np.asarray(start)[order]),
+    )
+    blkrun = np.asarray(meta)[2 + 2 * pf.NBLK: 2 + 3 * pf.NBLK]
+    assert np.any(blkrun >= 0) and np.any(blkrun == -2), blkrun
+
+    substrate = substrates.mesh(
+        vertices, faces, periodic=True, init_pos=init,
+        n_sv=np.array([2, 2, 2]), quiet=True,
+    )
+
+    def run():
+        return simulations.simulation(
+            512, diffusivity, gradient, dt, substrate, quiet=True, seed=9,
+            final_pos=True,
+        )
+
+    prior_width = config.fused_cell_steps
+    try:
+        config.use_fused = True
+        config.pallas_interpret = True
+        config.fused_cell_steps = 2.0
+        s_r, p_r = run()
+        config.fused_blkfast = True
+        s_f, p_f = run()
+    finally:
+        config.fused_blkfast = False
+        config.fused_cell_steps = prior_width
+        config.use_fused = None
+        config.pallas_interpret = False
+    npt.assert_array_equal(p_r, p_f)
+    npt.assert_array_equal(s_r, s_f)
 
 
 def test_fused_iter_exc_flagging(oracles_dir):
