@@ -332,8 +332,9 @@ def _prepare_substrate(substrate, n_walkers, seed, scale, dtype, quiet,
     substrates: "classic" (per-bounce query path) or "fused" (the
     fused-step engine, engine/fused.py)."""
     if substrate.type == "free":
-        positions = np.zeros((n_walkers, 3))
-        return FreeSpec(), positions * scale, None, 1.0, "classic"
+        # Seeded on device (all walkers at the origin): no host->device
+        # position upload.
+        return FreeSpec(), None, None, 1.0, "classic"
 
     if substrate.type == "sphere":
         r = substrate.radius
@@ -384,15 +385,18 @@ def _prepare_substrate(substrate, n_walkers, seed, scale, dtype, quiet,
                     "n_walkers must be equal to the number of initial positions"
                 )
             positions = np.asarray(substrate.init_pos, dtype=float)
+        elif substrate.init_pos == "uniform":
+            # Uniform-in-voxel seeding happens ON DEVICE (threefry from the
+            # simulation seed): at production spin counts the host-side
+            # sampling + ~8 MB/s position upload cost ~0.43 s per call
+            # (~7% of a 150-step run) and capped the ensemble size.
+            positions = None
         else:
             if not quiet:
                 print("Calculating initial positions")
-            if substrate.init_pos == "uniform":
-                positions = np.random.random((n_walkers, 3)) * substrate.voxel_size
-            else:
-                positions = _fill_mesh(
-                    n_walkers, substrate, substrate.init_pos == "intra", seed
-                )
+            positions = _fill_mesh(
+                n_walkers, substrate, substrate.init_pos == "intra", seed
+            )
             if not quiet:
                 print("Finished calculating initial positions")
         spec = None
@@ -433,7 +437,9 @@ def _prepare_substrate(substrate, n_walkers, seed, scale, dtype, quiet,
                 spec = mesh_accel.pack_mesh(substrate, scale, dtype)
                 substrate._accel_cache[cache_key] = spec
         extent = float(np.max(substrate.voxel_size)) * scale
-        return spec, positions * scale, None, extent, mesh_engine
+        if positions is not None:
+            positions = positions * scale
+        return spec, positions, None, extent, mesh_engine
 
     raise ValueError("Incorrect value (%s) for substrate" % substrate)
 
@@ -681,12 +687,42 @@ def simulation(
     else:
         mesh = None
     n_padded = n_walkers if mesh is None else par.padded_spin_count(n_walkers, mesh)
-    if n_padded != n_walkers:
+    if positions_np is not None and n_padded != n_walkers:
         pad = np.repeat(positions_np[:1], n_padded - n_walkers, axis=0)
         positions_np = np.concatenate((positions_np, pad), axis=0)
 
     # Engine layout: (3, n) — components in rows, spins in the lane axis.
-    positions = jnp.asarray(positions_np.T, dtype=dtype)
+    if positions_np is None:
+        # Device-side seeding (free: origin; mesh "uniform": uniform in the
+        # voxel from a threefry stream keyed by the simulation seed) — no
+        # host sampling, no position upload through the ~8 MB/s link.
+        if kind == "free":
+            positions = jnp.zeros((3, n_padded), dtype=dtype)
+        else:
+            vox = jnp.asarray(
+                np.asarray(substrate.voxel_size) * scale, dtype=dtype
+            )
+            # Draw exactly (3, n_walkers) so the ensemble is identical on
+            # any device layout; sharding pad lanes clone spin 0 (as the
+            # host path does).
+            positions = (
+                jax.random.uniform(
+                    jax.random.PRNGKey(seed), (3, n_walkers), dtype=dtype
+                )
+                * vox[:, None]
+            )
+            if n_padded != n_walkers:
+                positions = jnp.concatenate(
+                    (
+                        positions,
+                        jnp.repeat(
+                            positions[:, :1], n_padded - n_walkers, axis=1
+                        ),
+                    ),
+                    axis=1,
+                )
+    else:
+        positions = jnp.asarray(positions_np.T, dtype=dtype)
     phases = jnp.zeros((n_meas, n_padded), dtype=dtype)
     iter_exc = jnp.zeros(n_padded, dtype=bool)
     g_eff_dev = jnp.asarray(g_eff, dtype=dtype)
@@ -706,7 +742,10 @@ def simulation(
                 parity_np = np.zeros(n_padded, dtype=bool)
             else:
                 # Classify arbitrary starting points by ray-crossing parity
-                # (mesh frame == lab frame; engine units -> metres).
+                # (mesh frame == lab frame; engine units -> metres). Device-
+                # seeded positions are fetched once for the host classifier.
+                if positions_np is None:
+                    positions_np = np.asarray(positions, dtype=float).T
                 parity_np = _make_intra_classifier(substrate)(
                     positions_np * step_l
                 )
@@ -778,6 +817,7 @@ def simulation(
                     fold_unroll=engine_config.fused_fold_unroll,
                     contig=engine_config.fused_dma_mode == "contig",
                     blkfast=engine_config.fused_blkfast,
+                    align=engine_config.fused_align,
                 )
             else:
                 out = fused.run_window_fused(
@@ -799,6 +839,7 @@ def simulation(
                     fold_unroll=engine_config.fused_fold_unroll,
                     contig=engine_config.fused_dma_mode == "contig",
                     blkfast=engine_config.fused_blkfast,
+                    align=engine_config.fused_align,
                 )
             if count_units:
                 diag = out[-1]

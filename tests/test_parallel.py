@@ -160,5 +160,8 @@ def test_sharded_mesh_simulation_matches_single_device(mesh8):
         250, 2e-9, gradient, dt, substrate, devices=mesh8, **kwargs
     )
     assert s8.shape == (1,) and p8.shape == (250, 3)
-    npt.assert_allclose(p8, p1, atol=1e-12)
+    # Positions match to f32 rounding of the um-scale coordinates (~1e-11
+    # m): the XLA query's reduction/re-centering order differs between
+    # shardings by an ulp on a handful of grazing bounces.
+    npt.assert_allclose(p8, p1, atol=1e-11)
     npt.assert_allclose(s8, s1, rtol=1e-5, atol=1e-6)

@@ -207,6 +207,41 @@ def test_seed_reproducibility():
     npt.assert_equal(np.all(s1 != s3), True)
 
 
+def test_mesh_uniform_seeding_device():
+    # init_pos="uniform" seeds walkers ON DEVICE (threefry keyed by the
+    # simulation seed; no host sampling or position upload). Contract:
+    # same seed => bit-identical simulation, different seed => different,
+    # and the ensemble covers the voxel uniformly.
+    vertices, faces = substrates._aabb_to_mesh(
+        np.zeros(3), np.full(3, 10e-6)
+    )
+    substrate = substrates.mesh(
+        vertices, faces, periodic=True, n_sv=np.array([3, 3, 3]),
+        init_pos="uniform", quiet=True,
+    )
+    gradient = np.zeros((1, 4, 3))
+    gradient[0, 1, 0] = 10.0  # unbalanced, O(1) phase spread over the voxel
+    dt = 5e-5  # step_l ~ 0.77 um << voxel
+    n_s = 4096
+    s1, p1 = simulations.simulation(
+        n_s, DIFFUSIVITY, gradient, dt, substrate, quiet=True, final_pos=True
+    )
+    s2, p2 = simulations.simulation(
+        n_s, DIFFUSIVITY, gradient, dt, substrate, quiet=True, final_pos=True
+    )
+    npt.assert_equal(s1, s2)
+    npt.assert_equal(p1, p2)
+    s3 = simulations.simulation(
+        n_s, DIFFUSIVITY, gradient, dt, substrate, seed=7, quiet=True
+    )
+    assert np.all(s1 != s3)
+    # Uniform start + independent displacements modulo the periodic voxel
+    # stays exactly uniform: check per-axis coverage of the voxel.
+    for axis in range(3):
+        u = (p1[:, axis] % 10e-6) / 10e-6
+        assert kstest(u, "uniform").pvalue > 1e-4
+
+
 def test_all_signals_and_final_pos():
     gradient, dt = example_gradient()
     substrate = substrates.free()
