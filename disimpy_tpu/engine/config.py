@@ -62,6 +62,14 @@ fused_fold_unroll = 2
 # regression (round-4 snapshot: 5.71 -> 6.27 s on the 150-step bundle),
 # so the default is off unless alignment is on.
 fused_blkfast = False
+# BLK-aligned epoch layout: pad every anchor-cell run to a 128-lane
+# boundary with engine-side reservoir lanes (fused._align_dest) so each
+# fold block is overlapped by exactly one run. Pairs with fused_blkfast
+# (the kernel fast path that alignment makes fire); costs a static
+# reservoir of extra lanes (fused._align_reserve) plus the gap-key
+# machinery per epoch, so it pays off at coarse cell widths where the
+# padding inflation is small. Static jit argument like the other knobs.
+fused_align = False
 # When True (single-device fused runs only), the kernel counts folded
 # 64-triangle units and gated block-passes; the driver accumulates them in
 # simulations._STREAM_DIAG. Costs one extra kernel variant compile.

@@ -76,6 +76,12 @@ CH_MAX = 32
 # contiguous mode); _with_tail tops them up on load.
 TAIL_UNITS = 256
 TABLE_BYTES_LIMIT = int(1.5e9)
+# Configuration-search version, stored in cached *failure* entries: a
+# failure only proves no configuration fit THIS search (width ladder,
+# CH_MAX, cost model), so a newer search ignores cached failures and
+# retries, while expensive successful packs (hours for the neuron mesh)
+# stay valid across search improvements.
+SEARCH_VERSION = 2
 
 
 def _with_tail(table):
@@ -336,26 +342,34 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
             # combination fits no fused configuration. Re-searching costs
             # tens of minutes of host SAT work (e.g. the neuron mesh at
             # step lengths comparable to its features), so the negative
-            # result is cached too.
-            raise ValueError(
-                "fused mesh table does not fit the chunk/memory budgets "
-                "for any (epoch, cell width) configuration (cached result)"
+            # result is cached too — but only for the SAME search (an
+            # improved width ladder / cost model / CH_MAX may succeed
+            # where the recorded one failed, so a version mismatch
+            # falls through to a fresh search).
+            if parts.get("search_version") == SEARCH_VERSION:
+                raise ValueError(
+                    "fused mesh table does not fit the chunk/memory "
+                    "budgets for any (epoch, cell width) configuration "
+                    "(cached result)"
+                )
+            parts = None
+        if parts is not None:
+            arrays = dict(parts["arrays"])
+            if "cell_packed2" not in arrays:
+                # Legacy v9 pack: rows are level-ordered but not distance-
+                # ordered, so the only valid prefix for every fine
+                # threshold is the full step-0 prefix — replicate it
+                # (coarse behavior).
+                c0 = np.asarray(arrays["cell_packed"]) & ((1 << BITS) - 1)
+                p2 = np.zeros_like(c0)
+                for k in range(len(FINE_LADDER)):
+                    p2 = p2 | (c0 << (BITS * k))
+                arrays["cell_packed2"] = p2.astype(np.int32)
+            arrays["table"] = _with_tail(arrays["table"])
+            return FusedMeshSpec(
+                **{k: jnp.asarray(v) for k, v in arrays.items()},
+                **parts["meta"],
             )
-        arrays = dict(parts["arrays"])
-        if "cell_packed2" not in arrays:
-            # Legacy v9 pack: rows are level-ordered but not distance-
-            # ordered, so the only valid prefix for every fine threshold
-            # is the full step-0 prefix — replicate it (coarse behavior).
-            c0 = np.asarray(arrays["cell_packed"]) & ((1 << BITS) - 1)
-            p2 = np.zeros_like(c0)
-            for k in range(len(FINE_LADDER)):
-                p2 = p2 | (c0 << (BITS * k))
-            arrays["cell_packed2"] = p2.astype(np.int32)
-        arrays["table"] = _with_tail(arrays["table"])
-        return FusedMeshSpec(
-            **{k: jnp.asarray(v) for k, v in arrays.items()},
-            **parts["meta"],
-        )
 
     assert 1 <= resort_every <= MAX_J
     vertices = np.asarray(substrate.vertices, dtype=np.float64) * scale
@@ -488,7 +502,9 @@ def pack_fused(substrate, scale, resort_every=4, cell_steps=None,
             )
     if cache_path is not None:
         with open(cache_path, "wb") as f:
-            pickle.dump({"failed": True}, f)
+            pickle.dump(
+                {"failed": True, "search_version": SEARCH_VERSION}, f
+            )
     raise ValueError(
         "fused mesh table does not fit the chunk/memory budgets for any "
         "(epoch, cell width) configuration"
@@ -678,14 +694,105 @@ def _run_ends(keys):
     return jnp.flip(lax.cummin(jnp.flip(boundary.astype(jnp.int32)))) + 1
 
 
+# Lane-block width runs are aligned to (must match pallas_fused.BLK) and
+# the reservoir-lane key sentinel (sorts after every real cell id; real
+# ids are bounded by prod(n_sv) << 2**30).
+ALIGN_BLK = 128
+_BIGKEY = 2 ** 30
+
+
+def _align_reserve(n, n_sv, tile):
+    """Static reservoir size (gap-filler lanes) for BLK-aligned layouts.
+
+    Expected total pad = occupied cells x E[pad per run], estimated with a
+    normal approximation of the per-cell occupancy Poisson(n / n_cells).
+    Underestimates are safe: ``_align_dest`` clamps once the reservoir is
+    exhausted and the remaining runs simply fall back to the ragged
+    (unaligned) kernel path.
+    """
+    C = float(np.prod(n_sv))
+    lam = n / C
+    sig = max(math.sqrt(lam), 1.0)
+    Ls = np.arange(max(1.0, lam - 6 * sig), lam + 6 * sig + 2)
+    w = np.exp(-0.5 * ((Ls - lam) / sig) ** 2)
+    w = w / w.sum()
+    pad = (-Ls) % ALIGN_BLK
+    D = C * (1 - math.exp(-lam)) * float((w * pad).sum())
+    D = int(min(n, 1.3 * D + 2 * tile))
+    return -(-D // tile) * tile
+
+
+def _align_dest(key, n_real):
+    """Sort keys realizing a BLK-aligned run layout.
+
+    ``key`` is (na,) int32: each of the ``n_real`` real lanes carries its
+    anchor cell id; the na - n_real reservoir lanes carry ``_BIGKEY``.
+    Returns (na,) int32 ``dest`` such that ``lax.sort`` keyed by it places
+    every anchor-cell run at a lane index that is a multiple of ALIGN_BLK
+    (so each 128-lane fold block is overlapped by exactly one run — the
+    kernel's ``blkfast`` case) with reservoir lanes filling the pad slots,
+    until the reservoir runs out (later runs stay dense = ragged path).
+
+    Fully vectorized — segment machinery is cummax/cumsum over the sorted
+    order plus two tiny merge sorts; no gathers, no scatters (XLA per-lane
+    gathers run on the TPU scalar core).
+    """
+    na = key.shape[0]
+    D = na - n_real
+    i = jnp.arange(na, dtype=jnp.int32)
+    keys_s, src = lax.sort((key, i), num_keys=1)
+    # Reservoir lanes (key _BIGKEY, stable sort) occupy exactly [n_real, na).
+    real_s = i < n_real
+    is_start = jnp.concatenate(
+        (jnp.ones((1,), bool), keys_s[1:] != keys_s[:-1])
+    )
+    run_start = lax.cummax(jnp.where(is_start, i, 0))
+    next_end = _run_ends(keys_s)
+    is_end = next_end == i + 1
+    len_end = i + 1 - run_start
+    pad_end = jnp.where(
+        is_end & real_s, (-len_end) % jnp.int32(ALIGN_BLK), 0
+    )
+    P = jnp.cumsum(pad_end)
+    # Pads of runs strictly before lane i's own run (constant per run).
+    G = P - jnp.where(is_end, pad_end, 0)
+    totpad = jnp.minimum(P[-1], jnp.int32(D))
+    dest_real = i + jnp.minimum(G, totpad)
+
+    # Gap-slot keys for the reservoir: run r (ending at sorted lane e with
+    # G = Q pads before it) owns gap slots dest(e) + 1 .. dest(e) + pad =
+    # (e + 1 + Q) .. (e + Q + pad), i.e. reservoir lane k in [Q, Q + pad)
+    # gets key (e + 1) + k. A 2-operand merge sort interleaves each k
+    # between its run's entry (Q keys) and the next; the payload e + 1 is
+    # monotone along the merge, so a cummax fill-forward recovers it.
+    entry = is_end & (pad_end > 0) & real_s & (G < totpad)
+    kidx = jnp.arange(D, dtype=jnp.int32)
+    mkey = jnp.concatenate((jnp.where(entry, G, jnp.int32(_BIGKEY)), kidx))
+    pay = jnp.concatenate(
+        (jnp.where(entry, i + 1, 0), jnp.zeros(D, jnp.int32))
+    )
+    mks, pays = lax.sort((mkey, pay), num_keys=1)
+    dv = lax.cummax(pays) + mks  # valid at reservoir rows (pays == 0)
+    _, dv_k = lax.sort(
+        (jnp.where(pays == 0, mks, jnp.int32(_BIGKEY)), dv), num_keys=1
+    )
+    # Unused reservoir lanes key past every real dest (max real dest is
+    # n_real - 1 + totpad < na), preserving k order at the tail.
+    dumv = jnp.where(kidx < totpad, dv_k[:D], jnp.int32(na) + kidx)
+    dest_sorted = jnp.concatenate((dest_real[:n_real], dumv))
+    _, dest = lax.sort((src, dest_sorted), num_keys=1)
+    return dest
+
+
 @partial(jax.jit, static_argnames=("interpret", "track", "ablate",
                                    "runtime_level", "count_units",
-                                   "fold_unroll", "contig", "blkfast"))
+                                   "fold_unroll", "contig", "blkfast",
+                                   "align"))
 def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
                      epsilon, max_iter, interpret=False, id_base=0,
                      track=False, compartments=None, ablate=0,
                      runtime_level=True, count_units=False, fold_unroll=1,
-                     contig=True, blkfast=False):
+                     contig=True, blkfast=False, align=False):
     """Advance the ensemble through the window ``ts`` with the fused engine.
 
     Arguments mirror engine.core.run_window (positions (3, n) true
@@ -724,12 +831,18 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
 
     # Pad the spin axis to a whole number of kernel tiles; pad spins copy
     # spin 0 (valid physics, ids beyond n_true) and are sliced off after
-    # the final unsort (they sort last).
+    # the final unsort (they sort last). With ``align``, a further static
+    # reservoir of gap-filler lanes is appended: each epoch they are
+    # re-keyed (engine-side only — they belong to no run, fold nothing,
+    # and settle after one pass) to pad every anchor-cell run to an
+    # ALIGN_BLK lane boundary, which makes the kernel's single-run
+    # fast path (``blkfast``) the dominant case.
     n = -(-n_true // TILE) * TILE
+    na = n + (_align_reserve(n, spec.n_sv, TILE) if align else 0)
     if track:
         crossings, parity, intra = compartments
-    if n != n_true:
-        reps = n - n_true
+    if na != n_true:
+        reps = na - n_true
         positions = jnp.concatenate(
             (positions, jnp.repeat(positions[:, :1], reps, axis=1)), axis=1
         )
@@ -743,6 +856,7 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
             parity = jnp.concatenate((parity, jnp.zeros(reps, bool)))
             intra = jnp.concatenate((intra, zpad))
 
+    n_real, n = n, na  # n: kernel ensemble size (incl. any reservoir)
     ids = jnp.asarray(id_base, jnp.int32) + jnp.arange(n, dtype=jnp.int32)
     idexc = (ids << 1) | iter_exc.astype(jnp.int32)
     # Transit trackers ride the epoch sorts next to idexc; the current
@@ -767,8 +881,27 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
 
         cell, start, packed, packed2, shiftvox = _cell_keys(spec, positions)
         shifted = positions - shiftvox
+        if align:
+            # Reservoir lanes (ids >= id_base + n_real) are engine-side
+            # gap fillers: key them past every real cell id, void their
+            # row metadata (packed == 0 means they can never form a run,
+            # so the kernel folds nothing for them and they settle after
+            # one pass), and sort by the gap-inserting dest keys so every
+            # anchor-cell run lands on an ALIGN_BLK lane boundary.
+            gap = (
+                lax.shift_right_logical(idexc, jnp.int32(1))
+                - jnp.asarray(id_base, jnp.int32)
+            ) >= jnp.int32(n_real)
+            cell = jnp.where(gap, jnp.int32(_BIGKEY), cell)
+            start = jnp.where(gap, 0, start)
+            packed = jnp.where(gap, 0, packed)
+            packed2 = jnp.where(gap, 0, packed2)
+            key_ops = (_align_dest(cell, n_real),)
+        else:
+            key_ops = ()
         ops = lax.sort(
-            (
+            key_ops
+            + (
                 cell,
                 start,
                 packed,
@@ -784,12 +917,14 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
             + ((cr2, intra) if track else ()),
             num_keys=1,
         )
-        cell_s, start_s, packed_s, packed2_s = ops[0], ops[1], ops[2], ops[3]
-        pos_s = jnp.stack(ops[4:7])
-        shiftvox_s = jnp.stack(ops[7:10])
-        idexc_s = ops[10]
+        o = len(key_ops)
+        cell_s, start_s = ops[o], ops[o + 1]
+        packed_s, packed2_s = ops[o + 2], ops[o + 3]
+        pos_s = jnp.stack(ops[o + 4:o + 7])
+        shiftvox_s = jnp.stack(ops[o + 7:o + 10])
+        idexc_s = ops[o + 10]
         if track:
-            cr2, intra = ops[11], ops[12]
+            cr2, intra = ops[o + 11], ops[o + 12]
         next_end = _run_ends(cell_s)
         ids_s = idexc_s >> 1
         # Anchor-cell corners (the table rows' coordinate frame), from the
@@ -894,7 +1029,7 @@ def run_window_fused_sharded(device_mesh, spec, positions, phases, iter_exc,
                              g_eff, ts, seed32, epsilon, max_iter,
                              interpret=False, track=False, compartments=None,
                              ablate=0, runtime_level=True, fold_unroll=1,
-                             contig=True, blkfast=False):
+                             contig=True, blkfast=False, align=False):
     """Shard-mapped fused window: per-shard sorts and kernel launches.
 
     Spins are embarrassingly parallel, so the whole fused pipeline (epoch
@@ -919,7 +1054,7 @@ def run_window_fused_sharded(device_mesh, spec, positions, phases, iter_exc,
             interpret=interpret, id_base=id_base, track=track,
             compartments=comp if track else None, ablate=ablate,
             runtime_level=runtime_level, fold_unroll=fold_unroll,
-            contig=contig, blkfast=blkfast,
+            contig=contig, blkfast=blkfast, align=align,
         )
         (p2, ph2, e2) = out[0]
         return (p2, ph2, e2) + (out[2] if track else ())

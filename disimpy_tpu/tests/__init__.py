@@ -1,9 +1,13 @@
 """Convenience test runner, mirroring the reference's ``disimpy.tests``
 package (reference: disimpy/tests/__init__.py:6-8).
 
-The test suite itself lives in the repository's ``tests/`` directory (it
-is not shipped inside the package); ``test_all()`` locates it relative to
-an installed/checked-out tree and invokes pytest on it.
+.. note::
+   Unlike the reference, which ships its tests inside the package, the
+   suite lives in the repository's ``tests/`` directory (its fixtures are
+   tens of MB of oracle data). ``test_all()`` therefore only works from a
+   repository checkout — a pip-installed package without the repo raises
+   ``RuntimeError`` pointing here. This limitation is also documented in
+   the API reference (docs/reference.md).
 """
 
 import os

@@ -662,3 +662,172 @@ def test_fused_iter_exc_flagging(oracles_dir):
     finally:
         config.use_fused = None
         config.pallas_interpret = False
+
+
+# ---------------------------------------------------------------------------
+# BLK-aligned epoch layout (config.fused_align)
+# ---------------------------------------------------------------------------
+
+
+def test_align_dest_layout():
+    """_align_dest must place every run at an ALIGN_BLK lane boundary
+    (until the reservoir is exhausted), keep dest a permutation, and put
+    gap/reservoir lanes exactly in the pad slots."""
+    rng = np.random.RandomState(0)
+    B = fused.ALIGN_BLK
+    n_real = 1024
+    for D, lens in [
+        (1024, [100, 3, 128, 129, 200, 50, 414]),     # ample reservoir
+        (256, [100, 3, 128, 129, 200, 50, 414]),      # clamps mid-stream
+        (512, [1024]),                                # one giant run
+        (512, [1] * 1024),                            # all singletons
+    ]:
+        assert sum(lens) == n_real
+        cells = np.repeat(np.arange(len(lens)), lens).astype(np.int32)
+        key = np.concatenate(
+            (cells, np.full(D, fused._BIGKEY, np.int32))
+        )
+        # Shuffle the real lanes (dest must not depend on input order
+        # beyond stability); reservoir lanes stay at the tail.
+        perm = rng.permutation(n_real)
+        key[:n_real] = key[:n_real][perm]
+        dest = np.asarray(fused._align_dest(jnp.asarray(key), n_real))
+        # dest values are unique (any tie would silently shift ranks) and
+        # the aligned region [0, n_real + totpad) is exactly dense (every
+        # gap slot is filled by a reservoir lane).
+        assert len(set(dest.tolist())) == n_real + D, "unique"
+        totpad = min(int(sum((-l) % B for l in lens)), D)
+        dense = np.sort(dest)[: n_real + totpad]
+        npt.assert_array_equal(dense, np.arange(n_real + totpad))
+        # Emulate the epoch sort: order lanes by dest, read off cells.
+        order = np.argsort(dest, kind="stable")
+        laid = key[order]
+        # Every run's first lane must sit at a BLK boundary while
+        # reservoir remains; afterwards runs may be dense (ragged).
+        pads_needed = np.cumsum([(-l) % B for l in lens])
+        starts = np.flatnonzero(
+            np.concatenate(([True], laid[1:] != laid[:-1]))
+        )
+        for r, s in enumerate(starts):
+            if laid[s] == fused._BIGKEY:
+                continue
+            run_id = laid[s]
+            before = pads_needed[run_id - 1] if run_id > 0 else 0
+            if before <= D:
+                assert s % B == 0, (D, lens, run_id, s)
+        # Real lanes keep cell order; within-gap lanes are _BIGKEY.
+        real_laid = laid[laid != fused._BIGKEY]
+        assert np.all(np.diff(real_laid) >= 0)
+
+
+def test_align_bit_identical():
+    """The BLK-aligned epoch layout (config.fused_align) is engine-side
+    only: signals and positions must be bit-identical with the knob on or
+    off (and with the blkfast kernel fast path it is designed to feed),
+    on a ragged layout spanning multiple cells and epochs."""
+    n_s, n_t = 333, 16
+    gradient = np.zeros((1, n_t, 3))
+    gradient[:, 1:-1, 0] = 1e-3
+    vertices, faces = meshes.icosphere(radius=5e-6, subdivisions=1)
+    substrate = substrates.mesh(
+        vertices, faces, periodic=True, init_pos="intra",
+        n_sv=np.array([2, 2, 2]), quiet=True,
+    )
+
+    def run():
+        return simulations.simulation(
+            n_s, 2e-9, gradient, 2e-4, substrate, quiet=True, seed=9,
+            final_pos=True,
+        )
+
+    try:
+        config.use_fused = True
+        config.pallas_interpret = True
+        s0, p0 = run()
+        config.fused_align = True
+        s_a, p_a = run()
+        config.fused_blkfast = True
+        s_ab, p_ab = run()
+    finally:
+        config.fused_align = False
+        config.fused_blkfast = False
+        config.use_fused = None
+        config.pallas_interpret = False
+    npt.assert_array_equal(p0, p_a)
+    npt.assert_array_equal(s0, s_a)
+    npt.assert_array_equal(p0, p_ab)
+    npt.assert_array_equal(s0, s_ab)
+
+
+def test_align_sharded_matches_single_device():
+    """Aligned + sharded: per-shard alignment must reproduce the
+    single-device aligned run exactly (walker ids key the RNG; reservoir
+    lanes are shard-local)."""
+    n_s, n_t = 222, 8
+    gradient = np.zeros((1, n_t, 3))
+    gradient[:, 1:-1, 0] = 1e-3
+    vertices, faces = meshes.icosphere(radius=5e-6, subdivisions=1)
+    substrate = substrates.mesh(
+        vertices, faces, periodic=True, init_pos="intra",
+        n_sv=np.array([2, 2, 2]), quiet=True,
+    )
+    n_dev = jax.device_count()
+    if n_dev < 2:
+        pytest.skip("needs a multi-device (virtual CPU) mesh")
+
+    def run(devices=None):
+        return simulations.simulation(
+            n_s, 2e-9, gradient, 2e-4, substrate, quiet=True, seed=11,
+            final_pos=True, devices=devices,
+        )
+
+    try:
+        config.use_fused = True
+        config.pallas_interpret = True
+        config.fused_align = True
+        config.fused_blkfast = True
+        s1, p1 = run()
+        s2, p2 = run(devices=n_dev)
+    finally:
+        config.fused_align = False
+        config.fused_blkfast = False
+        config.use_fused = None
+        config.pallas_interpret = False
+    npt.assert_allclose(p1, p2, rtol=0, atol=0)
+    npt.assert_allclose(s1, s2, rtol=0, atol=0)
+
+
+def test_pack_failure_cache_versioned(tmp_path):
+    """A cached pack-search FAILURE only binds the search version that
+    recorded it: newer searches retry instead of re-raising, while a
+    same-version failure entry short-circuits (the expensive negative
+    result stays cached)."""
+    import pickle
+
+    vertices, faces = meshes.icosphere(radius=5e-6, subdivisions=1)
+    substrate = substrates.mesh(
+        vertices, faces, periodic=True, n_sv=np.array([2, 2, 2]), quiet=True
+    )
+    step_l = float(np.sqrt(6 * 2e-9 * 2e-4))
+    cache = tmp_path / "pack.pkl"
+
+    # Stale failure (recorded by an older search): must fall through to a
+    # fresh search, which succeeds on this geometry.
+    with open(cache, "wb") as f:
+        pickle.dump({"failed": True}, f)
+    spec = fused.pack_fused(
+        substrate, 1.0 / step_l, cell_steps=2.0, n_hint=512,
+        cache_path=str(cache),
+    )
+    assert spec.table.shape[0] > 0
+
+    # Same-version failure: short-circuits with the cached ValueError.
+    with open(cache, "wb") as f:
+        pickle.dump(
+            {"failed": True, "search_version": fused.SEARCH_VERSION}, f
+        )
+    with pytest.raises(ValueError, match="cached result"):
+        fused.pack_fused(
+            substrate, 1.0 / step_l, cell_steps=2.0, n_hint=512,
+            cache_path=str(cache),
+        )
