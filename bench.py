@@ -156,7 +156,7 @@ def main(n_spins=524288, n_t=150, n_meas=32, profile_dir=None,
             )
         finally:
             engine_config.fused_count_units = False
-        units, bpasses = sim_mod._STREAM_DIAG
+        units, bpasses, lanes = sim_mod._STREAM_DIAG
         n_tiles = -(-n_spins // TILE)
         print(
             f"measured streamed tris/spin-step: "
@@ -167,6 +167,11 @@ def main(n_spins=524288, n_t=150, n_meas=32, profile_dir=None,
         print(
             f"effective gated block-passes/step: "
             f"{bpasses / (n_tiles * NBLK * n_short):.2f}",
+            file=sys.stderr,
+        )
+        print(
+            f"fold lane occupancy (live lanes per 128-wide fold): "
+            f"{lanes / max(units, 1) / 128:.3f}",
             file=sys.stderr,
         )
 
@@ -217,6 +222,15 @@ if __name__ == "__main__":
     ap.add_argument("--stream", action="store_true",
                     help="also measure true streamed tris/spin-step with "
                     "the counting kernel variant (extra compile)")
+    ap.add_argument("--spins", type=int, default=524288,
+                    help="ensemble size (spins seed on-device, so this is "
+                    "bounded by HBM, not the host link; 10M+ works — keep "
+                    "n_meas * spins * 4 B under ~1 GB for the phase array)")
+    ap.add_argument("--nt", type=int, default=150,
+                    help="number of time steps")
+    ap.add_argument("--meas", type=int, default=32,
+                    help="number of measurements (waveform rows)")
     args = ap.parse_args()
-    main(profile_dir=args.profile, workload=args.workload,
+    main(n_spins=args.spins, n_t=args.nt, n_meas=args.meas,
+         profile_dir=args.profile, workload=args.workload,
          stream_diag=args.stream)

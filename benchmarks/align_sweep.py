@@ -79,7 +79,7 @@ def main():
             )
             warm = time.time() - t0
             if stream:
-                simulations._STREAM_DIAG[0] = simulations._STREAM_DIAG[1] = 0
+                simulations._STREAM_DIAG[:] = [0, 0, 0.0]
             t0 = time.time()
             s = simulations.simulation(
                 n_spins, diffusivity, gradient, dt, substrate, seed=2,
@@ -93,13 +93,14 @@ def main():
                 f"warm {warm:.0f}s)"
             )
             if stream:
-                units, bp = simulations._STREAM_DIAG
+                units, bp, lanes = simulations._STREAM_DIAG
                 n_tiles = (n_pad + res) // TILE
                 line += (
                     f" units/orig-tile-step="
                     f"{units / (n_spins / TILE * n_t):.1f}"
                     f" gated-bp/step={bp / (n_tiles * NBLK * n_t):.2f}"
                     f" tris/spin-step={units * UNIT / (n_spins * n_t):.1f}"
+                    f" fold-occupancy={lanes / max(units, 1) / 128:.3f}"
                 )
             print(line, flush=True)
         except Exception as e:  # noqa: BLE001

@@ -956,7 +956,8 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
         )
         pos_steps, exc_bits, cross_steps = eout[:3]
         if count_units:
-            diag = (diag[0] + eout[3][0], diag[1] + eout[3][1])
+            diag = (diag[0] + eout[3][0], diag[1] + eout[3][1],
+                    diag[2] + eout[3][2])
         pos_s = pos_steps[-1]
         idexc_s = idexc_s | exc_bits.astype(jnp.int32)
         if track:
@@ -996,7 +997,7 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
         positions = pos_s + shiftvox_s
         return (positions, phases, idexc_s, cr2, intra, diag), None
 
-    diag0 = (jnp.int32(0), jnp.int32(0))
+    diag0 = (jnp.int32(0), jnp.int32(0), jnp.float32(0))
     (positions, phases, idexc, cr2, intra, diag), _ = lax.scan(
         epoch,
         (positions, phases, idexc, cr2, intra, diag0),

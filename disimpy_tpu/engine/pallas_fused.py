@@ -493,8 +493,13 @@ def _kernel(bases_ref, starts_ref, packed_ref, packed2_ref, nexts_ref,
         liota = lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
         dn[0:1, :] = jnp.full((1, TILE), _INF, jnp.float32)
 
-        def _cnt_for(i0, inrun, lvlb):
-            """Selected unit count for one run against one lane block."""
+        def _cnt_for(i0, inrun, lvlb, liveb):
+            """Selected unit count for one run against one lane block.
+
+            ``liveb`` (diagnostics only): lanes this fold actually serves —
+            in-run AND still active this pass. The counting kernel
+            accumulates cnt * |liveb| to measure fold lane occupancy
+            (live lanes per 128-wide fold issue)."""
             if runtime_level:
                 # Smallest ladder prefix covering this (run x block)
                 # segment's active lanes: max of the per-lane levels
@@ -521,6 +526,9 @@ def _kernel(bases_ref, starts_ref, packed_ref, packed2_ref, nexts_ref,
                 ) & mask6
             if count_units:
                 ucnt[0, 0] = ucnt[0, 0] + cnt
+                ucnt[0, 2] = ucnt[0, 2] + cnt * jnp.sum(
+                    liveb.astype(jnp.int32)
+                )
             return cnt
 
         def _fold_cnt(off, cnt, inrun, xb, yb, zb, dxb, dyb, dzb,
@@ -614,7 +622,10 @@ def _kernel(bases_ref, starts_ref, packed_ref, packed2_ref, nexts_ref,
                     off = runoff_ref[0, kb]
                     end = jnp.minimum(nexts_ref[0, i0] - tile_base, TILE)
                     inrun = (liota >= i0 - qbase) & (liota < end - qbase)
-                    cnt = _cnt_for(i0, inrun, lvlb)
+                    cnt = _cnt_for(
+                        i0, inrun, lvlb,
+                        inrun & (av[:, sl] > 0) if count_units else None,
+                    )
                     inf8 = jnp.full((8, BLK), _INF, jnp.float32)
                     zero8 = jnp.zeros((8, BLK), jnp.float32)
                     bd, n0, n1, n2 = _fold_cnt(
@@ -635,7 +646,10 @@ def _kernel(bases_ref, starts_ref, packed_ref, packed2_ref, nexts_ref,
                     i0 = runlane_ref[0, kk]
                     end = jnp.minimum(nexts_ref[0, i0] - tile_base, TILE)
                     inrun = (liota >= i0 - qbase) & (liota < end - qbase)
-                    cnt = _cnt_for(i0, inrun, lvlb)
+                    cnt = _cnt_for(
+                        i0, inrun, lvlb,
+                        inrun & (av[:, sl] > 0) if count_units else None,
+                    )
                     return _fold_cnt(
                         off, cnt, inrun, xb, yb, zb, dxb, dyb, dzb,
                         cxb, cyb, czb, acc,
@@ -880,13 +894,15 @@ def _kernel(bases_ref, starts_ref, packed_ref, packed2_ref, nexts_ref,
     if count_units:
         ucnt[0, 0] = jnp.int32(0)
         ucnt[0, 1] = jnp.int32(0)
+        ucnt[0, 2] = jnp.int32(0)
 
     # W == 0 (no runs in the tile) still takes one window pass: k0 == k1
     # == 0 skips the DMA and w_end == TILE, so every lane steps (no
     # folds) and writes its output.
     lax.fori_loop(0, jnp.maximum(W, jnp.int32(1)), window, jnp.int32(0))
     if count_units:
-        # Diagnostic rows: folded units and gated block-passes this tile
+        # Diagnostic rows: folded units, gated block-passes, and
+        # live-lane-weighted units (unit-lanes actually served) this tile
         # (same scalar broadcast across the row; the host reads lane 0).
         out_ref[4 * J: 4 * J + 1, :] = jnp.full(
             (1, TILE), 1.0, jnp.float32
@@ -894,6 +910,9 @@ def _kernel(bases_ref, starts_ref, packed_ref, packed2_ref, nexts_ref,
         out_ref[4 * J + 1: 4 * J + 2, :] = jnp.full(
             (1, TILE), 1.0, jnp.float32
         ) * ucnt[0, 1].astype(jnp.float32)
+        out_ref[4 * J + 2: 4 * J + 3, :] = jnp.full(
+            (1, TILE), 1.0, jnp.float32
+        ) * ucnt[0, 2].astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("n_steps", "interpret", "ablate",
@@ -906,7 +925,7 @@ def _launch(bases, starts, packed, packed2, nexts, corner, runlane, runoff,
     n_pad = pos.shape[1]
     n_tiles = n_pad // TILE
     J = n_steps
-    n_out = 4 * J + (2 if count_units else 0)
+    n_out = 4 * J + (3 if count_units else 0)
     # Cross-tile arena prefetch requires scratch that persists across
     # grid steps — a TPU-core property the interpreter does not emulate.
     pipeline = contig and not interpret
@@ -951,7 +970,10 @@ def _launch(bases, starts, packed, packed2, nexts, corner, runlane, runoff,
             pltpu.VMEM((1, TILE), jnp.float32),
             pltpu.VMEM((4, TILE), jnp.float32),  # dn: pass d + normals
             pltpu.SMEM((1, NBLK), jnp.int32),
-            pltpu.SMEM((1, 2), jnp.int32),
+            # Third diagnostic slot only in the counting variant, so the
+            # default binary's trace (and its compile cache entry) is
+            # untouched by the occupancy counter.
+            pltpu.SMEM((1, 3 if count_units else 2), jnp.int32),
         ],
     )
     return pl.pallas_call(
@@ -1046,10 +1068,13 @@ def fused_epoch(spec, pos_s, dirs, ids_s, start_s, packed_s, packed2_s,
     cross_steps = jnp.floor(aux * 0.5).astype(jnp.int32)
     exc = jnp.any(aux - 2.0 * jnp.floor(aux * 0.5) > 0.5, axis=0)
     if count_units:
-        per_tile = out[4 * J:4 * J + 2].reshape(2, n // TILE, TILE)[:, :, 0]
+        per_tile = out[4 * J:4 * J + 3].reshape(3, n // TILE, TILE)[:, :, 0]
         diag = (
             jnp.sum(per_tile[0]).astype(jnp.int32),
             jnp.sum(per_tile[1]).astype(jnp.int32),
+            # Live-lane-weighted units: float (a diagnostic ratio; exact
+            # int range would overflow int32 over a long window).
+            jnp.sum(per_tile[2]),
         )
         return pos_steps, exc, cross_steps, diag
     return pos_steps, exc, cross_steps

@@ -46,9 +46,12 @@ __all__ = ["simulation", "add_noise_to_data"]
 
 # Streaming diagnostics of the last fused run with
 # engine.config.fused_count_units = True: [folded 64-triangle units,
-# gated block-passes], summed over every kernel tile/step/pass. Bench-only
-# instrumentation (single-device fused runs); see bench.py --stream.
-_STREAM_DIAG = [0, 0]
+# gated block-passes, live-lane-weighted units (sum over folds of
+# units x lanes that are in-run AND still active — the fold's useful
+# fraction is diag[2] / (diag[0] * 128))], summed over every kernel
+# tile/step/pass. Bench-only instrumentation (single-device fused runs);
+# see bench.py --stream.
+_STREAM_DIAG = [0, 0, 0.0]
 
 
 # ---------------------------------------------------------------------------
@@ -790,6 +793,7 @@ def simulation(
     ) and mesh is None and mesh_engine == "fused"
     if count_units:
         _STREAM_DIAG[0] = _STREAM_DIAG[1] = 0
+        _STREAM_DIAG[2] = 0.0
 
     t0 = 0
     while t0 < n_t:
@@ -846,6 +850,7 @@ def simulation(
                 out = out[:-1]
                 _STREAM_DIAG[0] += int(diag[0])
                 _STREAM_DIAG[1] += int(diag[1])
+                _STREAM_DIAG[2] += float(diag[2])
             if track:
                 (positions, phases, iter_exc), collected, compartments = out
             else:

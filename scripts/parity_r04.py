@@ -10,13 +10,16 @@ extends it with the round-3 physics features at full size:
   same b = 0 weight-consistency identity on the classic engine,
 - uniform T2: exact global exp(-T/T2) scaling.
 
-Writes PARITY_r04.json. Usage: python scripts/parity_r04.py
-(takes ~30-60 min incl. compiles on the remote TPU).
+Writes PARITY_r04.json by default; pass an output name to re-prove the
+matrix at a later HEAD (e.g. ``python scripts/parity_r04.py
+PARITY_r05.json``). Takes ~30-60 min incl. compiles on the remote TPU.
+The output records the kernel commit it ran at.
 """
 
 import json
 import pathlib
 import pickle
+import subprocess
 import sys
 import time
 import warnings
@@ -183,16 +186,30 @@ def main():
     record("uniform_t2_exact",
            np.abs(weighted / base - np.exp(-500 * dt / t2)).max(), 1e-5)
 
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=ROOT, capture_output=True,
+            text=True, check=True,
+        ).stdout.strip()
+        dirty = bool(subprocess.run(
+            ["git", "status", "--porcelain", "disimpy_tpu"], cwd=ROOT,
+            capture_output=True, text=True, check=True,
+        ).stdout.strip())
+    except Exception:  # noqa: BLE001
+        commit, dirty = "unknown", True
     results["_meta"] = {
         "backend": "tpu-v5e (axon)",
         "elapsed_s": round(time.time() - t_start, 1),
+        "commit": commit,
+        "package_dirty": dirty,
         "all_pass": all(
             v["pass"] for k, v in results.items() if not k.startswith("_")
         ),
     }
-    with open(ROOT / "PARITY_r04.json", "w") as f:
+    out = sys.argv[1] if len(sys.argv) > 1 else "PARITY_r04.json"
+    with open(ROOT / out, "w") as f:
         json.dump(results, f, indent=1)
-    print("PARITY_r04.json written;",
+    print(f"{out} written;",
           "ALL PASS" if results["_meta"]["all_pass"] else "FAILURES PRESENT")
 
 

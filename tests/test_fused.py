@@ -565,6 +565,44 @@ def test_dma_mode_bit_identical():
     npt.assert_array_equal(s_c, s_r)
 
 
+def test_counting_kernel_diagnostics():
+    """The counting kernel variant (config.fused_count_units) reports
+    [folded units, gated block-passes, live-lane-weighted units] in
+    simulations._STREAM_DIAG without perturbing the physics. Fold lane
+    occupancy (live lanes per 128-wide fold) must land in (0, 1]."""
+    n_s, n_t = 200, 16
+    gradient = np.zeros((1, n_t, 3))
+    gradient[:, 1:-1, 0] = 1e-3
+    vertices, faces = meshes.icosphere(radius=5e-6, subdivisions=1)
+    substrate = substrates.mesh(
+        vertices, faces, periodic=True, init_pos="intra",
+        n_sv=np.array([2, 2, 2]), quiet=True,
+    )
+
+    def run():
+        return simulations.simulation(
+            n_s, 2e-9, gradient, 2e-4, substrate, quiet=True, seed=9,
+            final_pos=True,
+        )
+
+    try:
+        config.use_fused = True
+        config.pallas_interpret = True
+        s_base, p_base = run()
+        config.fused_count_units = True
+        s_cnt, p_cnt = run()
+    finally:
+        config.fused_count_units = False
+        config.use_fused = None
+        config.pallas_interpret = False
+    npt.assert_array_equal(p_base, p_cnt)
+    npt.assert_array_equal(s_base, s_cnt)
+    units, bpasses, lanes = simulations._STREAM_DIAG
+    assert units > 0 and bpasses > 0
+    occupancy = lanes / units / 128
+    assert 0.0 < occupancy <= 1.0
+
+
 def test_blkfast_bit_identical():
     """The single-run-per-block fast path (config.fused_blkfast) must be
     bit-identical to the per-run ragged loop, on a constructed layout
