@@ -3,6 +3,10 @@
 Levels (config.fused_ablate): 1 = window fill/DMA/adjust + out writes
 only, 2 = + step scaffolding, 4 = + first-pass folds, 5 = + per-block
 reduce, 3 = + full resolve (one pass), 0 = full multi-pass kernel.
+Re-pass slices (forced second pass after the full first pass): 8 =
+pass-level rows only, 9 = + per-block items + folds, 10 = + sublane
+reduce, 7 = + whole-tile resolve (a full forced re-pass); see the
+round-5 re-pass decomposition in README.md.
 
 The knob is a STATIC jit argument threaded config -> run_window_fused ->
 _launch: each level compiles and runs its own binary — no cache-clear

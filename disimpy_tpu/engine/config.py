@@ -70,6 +70,13 @@ fused_blkfast = False
 # machinery per epoch, so it pays off at coarse cell widths where the
 # padding inflation is small. Static jit argument like the other knobs.
 fused_align = False
+# Gated re-passes: bounce passes after the first run the pass-level rows,
+# folds, reduce AND the row resolve per 128-lane block under its active
+# gate, so settled blocks pay nothing at all (the round-4 kernel gated
+# only fold + reduce and paid the whole-tile resolve every pass). The
+# round-5 ablation (benchmarks/README.md) puts the re-pass resolve at
+# ~1.9 ms/step on the bundle. Bit-identical physics; static jit argument.
+fused_passgate = False
 # When True (single-device fused runs only), the kernel counts folded
 # 64-triangle units and gated block-passes; the driver accumulates them in
 # simulations._STREAM_DIAG. Costs one extra kernel variant compile.

@@ -787,12 +787,13 @@ def _align_dest(key, n_real):
 @partial(jax.jit, static_argnames=("interpret", "track", "ablate",
                                    "runtime_level", "count_units",
                                    "fold_unroll", "contig", "blkfast",
-                                   "align"))
+                                   "align", "passgate"))
 def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
                      epsilon, max_iter, interpret=False, id_base=0,
                      track=False, compartments=None, ablate=0,
                      runtime_level=True, count_units=False, fold_unroll=1,
-                     contig=True, blkfast=False, align=False):
+                     contig=True, blkfast=False, align=False,
+                     passgate=False):
     """Advance the ensemble through the window ``ts`` with the fused engine.
 
     Arguments mirror engine.core.run_window (positions (3, n) true
@@ -953,6 +954,7 @@ def run_window_fused(spec, positions, phases, iter_exc, g_eff, ts, seed32,
             max_iter, interpret=interpret, ablate=ablate,
             runtime_level=runtime_level, count_units=count_units,
             fold_unroll=fold_unroll, contig=contig, blkfast=blkfast,
+            passgate=passgate,
         )
         pos_steps, exc_bits, cross_steps = eout[:3]
         if count_units:
@@ -1030,7 +1032,8 @@ def run_window_fused_sharded(device_mesh, spec, positions, phases, iter_exc,
                              g_eff, ts, seed32, epsilon, max_iter,
                              interpret=False, track=False, compartments=None,
                              ablate=0, runtime_level=True, fold_unroll=1,
-                             contig=True, blkfast=False, align=False):
+                             contig=True, blkfast=False, align=False,
+                             passgate=False):
     """Shard-mapped fused window: per-shard sorts and kernel launches.
 
     Spins are embarrassingly parallel, so the whole fused pipeline (epoch
@@ -1056,6 +1059,7 @@ def run_window_fused_sharded(device_mesh, spec, positions, phases, iter_exc,
             compartments=comp if track else None, ablate=ablate,
             runtime_level=runtime_level, fold_unroll=fold_unroll,
             contig=contig, blkfast=blkfast, align=align,
+            passgate=passgate,
         )
         (p2, ph2, e2) = out[0]
         return (p2, ph2, e2) + (out[2] if track else ())

@@ -280,7 +280,7 @@ def _kernel(bases_ref, starts_ref, packed_ref, packed2_ref, nexts_ref,
             table_ref, out_ref, arena, sem, st, act, ubuf, crs, dn,
             blkact, ucnt, *, J, ablate=0, runtime_level=True,
             count_units=False, fold_unroll=1, contig=True, pipeline=True,
-            blkfast=False):
+            blkfast=False, passgate=False):
     """One tile: J time steps, all bounces, windowed over the arena.
 
     Table rows are stored in CELL-LOCAL coordinates (the pack subtracts
@@ -423,7 +423,7 @@ def _kernel(bases_ref, starts_ref, packed_ref, packed2_ref, nexts_ref,
             n2 = jnp.where(better, tri[2], n2)
         return bd, n0, n1, n2
 
-    def _pass(s, it, k0, k1, parts=3):
+    def _pass(s, it, k0, k1, parts=3, repass=False):
         """One bounce pass: fold each lane block's runs' step-s unit
         prefix, reduce per block, resolve the whole tile on rows.
 
@@ -449,49 +449,64 @@ def _kernel(bases_ref, starts_ref, packed_ref, packed2_ref, nexts_ref,
         blocks resolve as no-hit).
         """
         stv = st[...]
-        x = stv[0:1]
-        y = stv[1:2]
-        z = stv[2:3]
-        dxr = stv[3:4]
-        dyr = stv[4:5]
-        dzr = stv[5:6]
-        remr = stv[6:7]
         av = act[...]
-
-        # Pass-level rows: every lane in its OWN cell frame (equal to the
-        # run frame for in-run lanes; out-of-run lanes are masked at fold
-        # time exactly as before).
         cv = corner_ref[...]
-        xq = x - cv[0:1]
-        yq = y - cv[1:2]
-        zq = z - cv[2:3]
-        cxq = yq * dzr - zq * dyr
-        cyq = zq * dxr - xq * dzr
-        czq = xq * dyr - yq * dxr
-        if runtime_level:
-            # Reach of each active lane this pass: distance to its
-            # anchor-cell box plus the remaining segment; the per-lane
-            # ladder level counts the thresholds below reach + margin
-            # across BOTH ladders — the sub-step FINE thresholds (counts
-            # in packed2) then the dilation steps (counts in packed).
-            # Inactive lanes carry a -1 sentinel (fold nothing at all
-            # when a run has no active lane).
-            ex = jnp.maximum(jnp.maximum(-xq, xq - wcell[0]), 0.0)
-            ey = jnp.maximum(jnp.maximum(-yq, yq - wcell[1]), 0.0)
-            ez = jnp.maximum(jnp.maximum(-zq, zq - wcell[2]), 0.0)
-            req = jnp.sqrt(ex * ex + ey * ey + ez * ez) + remr + _REQ_MARGIN
-            lvlr = jnp.zeros((1, TILE), jnp.float32)
-            for fv in fine_vals:
-                lvlr = lvlr + (fv < req).astype(jnp.float32)
-            for l in range(s):
-                lvlr = lvlr + (dil_vals[l] < req).astype(jnp.float32)
-            lvlr = jnp.where(av > 0, lvlr, -1.0)
-        else:
-            lvlr = None
+
+        def _rows(sl):
+            """Pass-level per-lane rows on lane range ``sl``: every lane
+            in its OWN cell frame (equal to the run frame for in-run
+            lanes; out-of-run lanes are masked at fold time), the fold
+            cross products, and the runtime ladder LEVEL. All
+            elementwise, so evaluating one gated 128-lane block under
+            ``repass`` is bit-identical to slicing whole-tile rows."""
+            x = stv[0:1, sl]
+            y = stv[1:2, sl]
+            z = stv[2:3, sl]
+            dxr = stv[3:4, sl]
+            dyr = stv[4:5, sl]
+            dzr = stv[5:6, sl]
+            remr = stv[6:7, sl]
+            avb = av[:, sl]
+            xq = x - cv[0:1, sl]
+            yq = y - cv[1:2, sl]
+            zq = z - cv[2:3, sl]
+            cxq = yq * dzr - zq * dyr
+            cyq = zq * dxr - xq * dzr
+            czq = xq * dyr - yq * dxr
+            if runtime_level:
+                # Reach of each active lane this pass: distance to its
+                # anchor-cell box plus the remaining segment; the
+                # per-lane ladder level counts the thresholds below
+                # reach + margin across BOTH ladders — the sub-step FINE
+                # thresholds (counts in packed2) then the dilation steps
+                # (counts in packed). Inactive lanes carry a -1 sentinel
+                # (fold nothing at all when a run has no active lane).
+                ex = jnp.maximum(jnp.maximum(-xq, xq - wcell[0]), 0.0)
+                ey = jnp.maximum(jnp.maximum(-yq, yq - wcell[1]), 0.0)
+                ez = jnp.maximum(jnp.maximum(-zq, zq - wcell[2]), 0.0)
+                req = jnp.sqrt(ex * ex + ey * ey + ez * ez) + remr \
+                    + _REQ_MARGIN
+                lvlr = jnp.zeros_like(req)
+                for fv in fine_vals:
+                    lvlr = lvlr + (fv < req).astype(jnp.float32)
+                for l in range(s):
+                    lvlr = lvlr + (dil_vals[l] < req).astype(jnp.float32)
+                lvlr = jnp.where(avb > 0, lvlr, -1.0)
+            else:
+                lvlr = None
+            return xq, yq, zq, dxr, dyr, dzr, cxq, cyq, czq, avb, lvlr
 
         sh_s = jnp.int32(s * BITS)
         liota = lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
-        dn[0:1, :] = jnp.full((1, TILE), _INF, jnp.float32)
+
+        if parts == 0:
+            # Ablation anchor (levels 8-10): consume the pass-level rows
+            # (frame, cross products, runtime ladder) so they are not
+            # dead-code-eliminated; measures the rows-only pass cost.
+            xq, _, _, _, _, _, _, cyq, czq, _, lvlr = _rows(slice(0, TILE))
+            dn[0:1, :] = jnp.full((1, TILE), _INF, jnp.float32)
+            dn[1:2, :] = xq + cyq + (lvlr if runtime_level else czq)
+            return
 
         def _cnt_for(i0, inrun, lvlb, liveb):
             """Selected unit count for one run against one lane block.
@@ -584,47 +599,22 @@ def _kernel(bases_ref, starts_ref, packed_ref, packed2_ref, nexts_ref,
                 jnp.where(sel, n2, 0.0), axis=0, keepdims=True
             )
 
-        for q in range(NBLK):
-            sl = slice(q * BLK, (q + 1) * BLK)
-            qbase = jnp.int32(q * BLK)
-
-            # Active gating: pass 0 always folds; later passes skip blocks
-            # whose spins all settled. With ``blkfast`` (static knob,
-            # config.fused_blkfast): a block overlapped by exactly ONE run
-            # (meta blkrun >= 0 — the dominant case under gap-aligned
-            # layouts) folds it with no per-run loop; several overlapping
-            # runs (-2) fall back to the fori over the window range
-            # clipped to the block's precomputed tile-wide run range
-            # [rq0, rq1) (meta layout). Without it, every gated block
-            # takes the per-run fori (the round-4 validated behavior).
-            gate = (it == 0) | (blkact[0, q] > 0)
-            lo_q = jnp.maximum(k0, meta_ref[0, 1 + q])
-            hi_q = jnp.minimum(k1, meta_ref[0, 1 + NBLK + q])
-            if blkfast:
-                kb = meta_ref[0, 2 + 2 * NBLK + q]
-                fast = gate & (kb >= k0) & (kb < k1)
-                ragged = gate & (kb == jnp.int32(-2)) & (hi_q > lo_q)
-            else:
-                fast = None
-                ragged = gate & (hi_q > lo_q)
-            if count_units:
-                gated = ragged if fast is None else (fast | ragged)
-                ucnt[0, 1] = ucnt[0, 1] + gated.astype(jnp.int32)
+        def _fold_reduce(qbase, sl, rows_b, fast, ragged, kb, lo_q, hi_q):
+            """Fold + sublane-reduce one 128-lane block: its window runs
+            [lo_q, hi_q) on the ragged path, or the single ``kb`` run on
+            the blkfast path."""
+            xb, yb, zb, dxb, dyb, dzb, cxb, cyb, czb, avb, lvlb = rows_b
 
             if blkfast:
                 @pl.when(fast)
-                def _(sl=sl, qbase=qbase, kb=kb):
-                    xb, yb, zb = xq[:, sl], yq[:, sl], zq[:, sl]
-                    dxb, dyb, dzb = dxr[:, sl], dyr[:, sl], dzr[:, sl]
-                    cxb, cyb, czb = cxq[:, sl], cyq[:, sl], czq[:, sl]
-                    lvlb = lvlr[:, sl] if runtime_level else None
+                def _():
                     i0 = runlane_ref[0, kb]
                     off = runoff_ref[0, kb]
                     end = jnp.minimum(nexts_ref[0, i0] - tile_base, TILE)
                     inrun = (liota >= i0 - qbase) & (liota < end - qbase)
                     cnt = _cnt_for(
                         i0, inrun, lvlb,
-                        inrun & (av[:, sl] > 0) if count_units else None,
+                        inrun & (avb > 0) if count_units else None,
                     )
                     inf8 = jnp.full((8, BLK), _INF, jnp.float32)
                     zero8 = jnp.zeros((8, BLK), jnp.float32)
@@ -635,12 +625,7 @@ def _kernel(bases_ref, starts_ref, packed_ref, packed2_ref, nexts_ref,
                     _reduce_write(bd, n0, n1, n2, sl)
 
             @pl.when(ragged)
-            def _(sl=sl, qbase=qbase, lo_q=lo_q, hi_q=hi_q):
-                xb, yb, zb = xq[:, sl], yq[:, sl], zq[:, sl]
-                dxb, dyb, dzb = dxr[:, sl], dyr[:, sl], dzr[:, sl]
-                cxb, cyb, czb = cxq[:, sl], cyq[:, sl], czq[:, sl]
-                lvlb = lvlr[:, sl] if runtime_level else None
-
+            def _():
                 def per_run(kk, acc):
                     off = runoff_ref[0, kk]
                     i0 = runlane_ref[0, kk]
@@ -648,7 +633,7 @@ def _kernel(bases_ref, starts_ref, packed_ref, packed2_ref, nexts_ref,
                     inrun = (liota >= i0 - qbase) & (liota < end - qbase)
                     cnt = _cnt_for(
                         i0, inrun, lvlb,
-                        inrun & (av[:, sl] > 0) if count_units else None,
+                        inrun & (avb > 0) if count_units else None,
                     )
                     return _fold_cnt(
                         off, cnt, inrun, xb, yb, zb, dxb, dyb, dzb,
@@ -661,79 +646,156 @@ def _kernel(bases_ref, starts_ref, packed_ref, packed2_ref, nexts_ref,
                     lo_q, hi_q, per_run, (inf8, zero8, zero8, zero8)
                 )
                 _reduce_write(bd, n0, n1, n2, sl)
+
+        def _gating(q, k0, k1, gate):
+            """Per-block run-range clip and the fast/ragged dispatch
+            conditions (blkfast: meta blkrun >= 0 means a single run
+            overlaps the block; -2 means several -> ragged fori)."""
+            lo_q = jnp.maximum(k0, meta_ref[0, 1 + q])
+            hi_q = jnp.minimum(k1, meta_ref[0, 1 + NBLK + q])
+            if blkfast:
+                kb = meta_ref[0, 2 + 2 * NBLK + q]
+                fast = gate & (kb >= k0) & (kb < k1)
+                ragged = gate & (kb == jnp.int32(-2)) & (hi_q > lo_q)
+            else:
+                kb = None
+                fast = None
+                ragged = gate & (hi_q > lo_q)
+            if count_units:
+                gated = ragged if fast is None else (fast | ragged)
+                ucnt[0, 1] = ucnt[0, 1] + gated.astype(jnp.int32)
+            return lo_q, hi_q, kb, fast, ragged
+
+        def _resolve(sl, blk_sums):
+            """Normalize the block-reduced hit rows and resolve the lanes
+            in ``sl``: reflect/cross, consume segment, update activity.
+            Componentwise on (1, lanes) rows — no (1, N) -> (k, N)
+            sublane broadcasts anywhere (see the layout note above).
+            ``blk_sums`` lists (lane-block index, local slice) pairs whose
+            SMEM active counts this call refreshes."""
+            dnv = dn[...]
+            d = dnv[0:1, sl]
+            nx = dnv[1:2, sl]
+            ny = dnv[2:3, sl]
+            nz = dnv[3:4, sl]
+            # stored N is unnormalized (E1 x E2); reflection needs unit
+            # length
+            rn = lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
+            nx, ny, nz = nx * rn, ny * rn, nz * rn
+            if parts == 2:
+                st[7:8] = st[7:8] + 0.0 * (nx + ny + nz + d)
+                return
+            dxr = stv[3:4, sl]
+            dyr = stv[4:5, sl]
+            dzr = stv[5:6, sl]
+            rem = stv[6:7, sl]
+            iters = stv[7:8, sl]
+            a = av[:, sl] > 0
+            hit = a & (d <= rem + SLACK)
+            t_abs = t_base + jnp.int32(s)
+
+            # Crossing uniforms are only needed for permeable membranes;
+            # the common impermeable case skips the threefry chain every
+            # pass (ubuf stays at its 1.0 init, so `go` is all-False
+            # under the strict `<`).
+            @pl.when(perm > 0)
+            def _():
+                ubuf[:, sl] = krng.bounce_uniform(
+                    seed, t_abs, idrow_ref[...][:, sl], it
+                )
+
+            go = ubuf[...][:, sl] < perm
+
+            # Membrane-transit counting for exchange statistics /
+            # relaxation (impermeable runs never cross, so the count row
+            # is write-free).
+            @pl.when(perm > 0)
+            def _():
+                crs[:, sl] = crs[...][:, sl] + jnp.where(
+                    hit & go, 1.0, 0.0
+                )
+
+            r0x, r0y, r0z = stv[0:1, sl], stv[1:2, sl], stv[2:3, sl]
+            vx, vy, vz = d * dxr, d * dyr, d * dzr
+            dp = vx * nx + vy * ny + vz * nz
+            flip = jnp.where(dp > 0, -1.0, 1.0)
+            nrx, nry, nrz = nx * flip, ny * flip, nz * flip
+            dp_o = -jnp.abs(dp)
+            ndx = vx - 2.0 * dp_o * nrx
+            ndy = vy - 2.0 * dp_o * nry
+            ndz = vz - 2.0 * dp_o * nrz
+            nd_rn = lax.rsqrt(ndx * ndx + ndy * ndy + ndz * ndz)
+            ndx, ndy, ndz = ndx * nd_rn, ndy * nd_rn, ndz * nd_rn
+            # crossing keeps the direction and offsets along -n_refl
+            ofs = jnp.where(go, -eps, eps)
+            reflected = hit & ~go
+            r_nx = r0x + vx + ofs * nrx
+            r_ny = r0y + vy + ofs * nry
+            r_nz = r0z + vz + ofs * nrz
+            rem_new = jnp.where(hit, rem - d, rem)
+            still = hit & (rem_new > 0) & (iters < max_iter_f)
+            upd = a & hit
+            st[0:1, sl] = jnp.where(upd, r_nx, r0x)
+            st[1:2, sl] = jnp.where(upd, r_ny, r0y)
+            st[2:3, sl] = jnp.where(upd, r_nz, r0z)
+            st[3:4, sl] = jnp.where(reflected, ndx, dxr)
+            st[4:5, sl] = jnp.where(reflected, ndy, dyr)
+            st[5:6, sl] = jnp.where(reflected, ndz, dzr)
+            st[6:7, sl] = jnp.where(a, rem_new, rem)
+            st[7:8, sl] = jnp.where(still, iters + 1.0, iters)
+            stf = still.astype(jnp.float32)
+            act[:, sl] = jnp.where(a, stf, av[:, sl])
+            for q, lsl in blk_sums:
+                blkact[0, q] = jnp.sum(stf[:, lsl]).astype(jnp.int32)
+
+        if repass:
+            # Gated re-pass (config.fused_passgate): later bounce passes
+            # run EVERYTHING per 128-lane block under its active gate —
+            # the pass-level rows, the folds, the reduce, AND the row
+            # resolve are all skipped for settled blocks, not just
+            # fold + reduce. Bit-identical physics: every computation is
+            # per-lane elementwise, a settled block has no active lane
+            # (the whole-tile resolve would rewrite identical state
+            # there), and its dn / blkact entries are never read again
+            # this pass.
+            for q in range(NBLK):
+                sl = slice(q * BLK, (q + 1) * BLK)
+                qbase = jnp.int32(q * BLK)
+                gate = blkact[0, q] > 0
+                lo_q, hi_q, kb, fast, ragged = _gating(q, k0, k1, gate)
+
+                @pl.when(gate)
+                def _(q=q, sl=sl, qbase=qbase, lo_q=lo_q, hi_q=hi_q,
+                      kb=kb, fast=fast, ragged=ragged):
+                    rows_b = _rows(sl)
+                    dn[0:1, sl] = jnp.full((1, BLK), _INF, jnp.float32)
+                    _fold_reduce(qbase, sl, rows_b, fast, ragged, kb,
+                                 lo_q, hi_q)
+                    _resolve(sl, [(q, slice(None))])
+            return
+
+        rows_t = _rows(slice(0, TILE))
+        dn[0:1, :] = jnp.full((1, TILE), _INF, jnp.float32)
+        for q in range(NBLK):
+            sl = slice(q * BLK, (q + 1) * BLK)
+            qbase = jnp.int32(q * BLK)
+
+            # Active gating: pass 0 always folds; later passes skip
+            # blocks whose spins all settled (fold + reduce only on this
+            # path — re-passes gate the rows and the resolve as well, see
+            # ``repass`` above).
+            gate = (it == 0) | (blkact[0, q] > 0)
+            lo_q, hi_q, kb, fast, ragged = _gating(q, k0, k1, gate)
+            rows_b = tuple(
+                None if r is None else r[:, sl] for r in rows_t
+            )
+            _fold_reduce(qbase, sl, rows_b, fast, ragged, kb, lo_q, hi_q)
         if parts == 1:
             return
-
-        dnv = dn[...]
-        d = dnv[0:1]
-        nx = dnv[1:2]
-        ny = dnv[2:3]
-        nz = dnv[3:4]
-        # stored N is unnormalized (E1 x E2); reflection needs unit length
-        rn = lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
-        nx, ny, nz = nx * rn, ny * rn, nz * rn
-        if parts == 2:
-            st[7:8] = st[7:8] + 0.0 * (nx + ny + nz + d)
-            return
-
-        # Resolve: componentwise on (1, TILE) rows — no (1, N) -> (k, N)
-        # sublane broadcasts anywhere (see the layout note above).
-        rem = remr
-        iters = stv[7:8]
-        a = act[...] > 0
-        hit = a & (d <= rem + SLACK)
-        t_abs = t_base + jnp.int32(s)
-
-        # Crossing uniforms are only needed for permeable membranes; the
-        # common impermeable case skips the threefry chain every pass
-        # (ubuf stays at its 1.0 init, so `go` is all-False under the
-        # strict `<`).
-        @pl.when(perm > 0)
-        def _():
-            ubuf[...] = krng.bounce_uniform(seed, t_abs, idrow_ref[...], it)
-
-        go = ubuf[...] < perm
-
-        # Membrane-transit counting for exchange statistics / relaxation
-        # (impermeable runs never cross, so the count row is write-free).
-        @pl.when(perm > 0)
-        def _():
-            crs[...] = crs[...] + jnp.where(hit & go, 1.0, 0.0)
-
-        r0x, r0y, r0z = stv[0:1], stv[1:2], stv[2:3]
-        vx, vy, vz = d * dxr, d * dyr, d * dzr
-        dp = vx * nx + vy * ny + vz * nz
-        flip = jnp.where(dp > 0, -1.0, 1.0)
-        nrx, nry, nrz = nx * flip, ny * flip, nz * flip
-        dp_o = -jnp.abs(dp)
-        ndx = vx - 2.0 * dp_o * nrx
-        ndy = vy - 2.0 * dp_o * nry
-        ndz = vz - 2.0 * dp_o * nrz
-        nd_rn = lax.rsqrt(ndx * ndx + ndy * ndy + ndz * ndz)
-        ndx, ndy, ndz = ndx * nd_rn, ndy * nd_rn, ndz * nd_rn
-        # crossing keeps the direction and offsets along -n_refl
-        ofs = jnp.where(go, -eps, eps)
-        reflected = hit & ~go
-        r_nx = r0x + vx + ofs * nrx
-        r_ny = r0y + vy + ofs * nry
-        r_nz = r0z + vz + ofs * nrz
-        rem_new = jnp.where(hit, rem - d, rem)
-        still = hit & (rem_new > 0) & (iters < max_iter_f)
-        upd = a & hit
-        st[0:1] = jnp.where(upd, r_nx, r0x)
-        st[1:2] = jnp.where(upd, r_ny, r0y)
-        st[2:3] = jnp.where(upd, r_nz, r0z)
-        st[3:4] = jnp.where(reflected, ndx, dxr)
-        st[4:5] = jnp.where(reflected, ndy, dyr)
-        st[5:6] = jnp.where(reflected, ndz, dzr)
-        st[6:7] = jnp.where(a, rem_new, rem)
-        st[7:8] = jnp.where(still, iters + 1.0, iters)
-        stf = still.astype(jnp.float32)
-        act[...] = jnp.where(a, stf, act[...])
-        for q in range(NBLK):
-            blkact[0, q] = jnp.sum(
-                stf[:, q * BLK: (q + 1) * BLK]
-            ).astype(jnp.int32)
+        _resolve(
+            slice(0, TILE),
+            [(q, slice(q * BLK, (q + 1) * BLK)) for q in range(NBLK)],
+        )
 
     W = meta_ref[0, 1 + 2 * NBLK]
 
@@ -836,13 +898,22 @@ def _kernel(bases_ref, starts_ref, packed_ref, packed2_ref, nexts_ref,
                     # one forced extra pass, no data-dependent control
                     _pass(s, jnp.int32(1), k0, k1)
                     return
+                if ablate in (8, 9, 10):
+                    # Forced second pass at partial depth — isolates the
+                    # re-pass cost slices against level 3 (no 2nd pass)
+                    # and level 7 (full 2nd pass): 8 = pass-level rows
+                    # only, 9 = + per-block items + folds, 10 = + reduce;
+                    # 7 - 10 = the resolve share.
+                    _pass(s, jnp.int32(1), k0, k1,
+                          parts={8: 0, 9: 1, 10: 2}[ablate])
+                    return
 
                 def cond(c):
                     return c[1] > 0
 
                 def body(c):
                     it, _ = c
-                    _pass(s, it, k0, k1)
+                    _pass(s, it, k0, k1, repass=passgate)
                     n = blkact[0, 0]
                     for q in range(1, NBLK):
                         n = n + blkact[0, q]
@@ -917,11 +988,13 @@ def _kernel(bases_ref, starts_ref, packed_ref, packed2_ref, nexts_ref,
 
 @partial(jax.jit, static_argnames=("n_steps", "interpret", "ablate",
                                    "runtime_level", "count_units",
-                                   "fold_unroll", "contig", "blkfast"))
+                                   "fold_unroll", "contig", "blkfast",
+                                   "passgate"))
 def _launch(bases, starts, packed, packed2, nexts, corner, runlane, runoff,
             winK, meta, params_i, params_f, pos, dirs, ids, table,
             n_steps, interpret=False, ablate=0, runtime_level=True,
-            count_units=False, fold_unroll=1, contig=True, blkfast=False):
+            count_units=False, fold_unroll=1, contig=True, blkfast=False,
+            passgate=False):
     n_pad = pos.shape[1]
     n_tiles = n_pad // TILE
     J = n_steps
@@ -980,7 +1053,7 @@ def _launch(bases, starts, packed, packed2, nexts, corner, runlane, runoff,
         partial(_kernel, J=J, ablate=ablate,
                 runtime_level=runtime_level, count_units=count_units,
                 fold_unroll=fold_unroll, contig=contig,
-                pipeline=pipeline, blkfast=blkfast),
+                pipeline=pipeline, blkfast=blkfast, passgate=passgate),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out, n_pad), jnp.float32),
         interpret=interpret,
@@ -995,7 +1068,7 @@ def fused_epoch(spec, pos_s, dirs, ids_s, start_s, packed_s, packed2_s,
                 next_end, corner_s, t_base, n_valid_steps, seed32, epsilon,
                 max_iter, interpret=False, ablate=0, runtime_level=True,
                 count_units=False, fold_unroll=1, contig=True,
-                blkfast=False):
+                blkfast=False, passgate=False):
     """Run one epoch (J steps) of mesh physics on epoch-sorted state.
 
     pos_s: (3, n) float32 positions wrapped into the home periodic image;
@@ -1061,6 +1134,7 @@ def fused_epoch(spec, pos_s, dirs, ids_s, start_s, packed_s, packed2_s,
         spec.table, n_steps=J, interpret=interpret, ablate=ablate,
         runtime_level=runtime_level, count_units=count_units,
         fold_unroll=fold_unroll, contig=contig, blkfast=blkfast,
+        passgate=passgate,
     )
     steps = out[:4 * J].reshape(J, 4, n)
     pos_steps = steps[:, 0:3, :]  # (J, 3, n)

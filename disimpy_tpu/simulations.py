@@ -822,6 +822,7 @@ def simulation(
                     contig=engine_config.fused_dma_mode == "contig",
                     blkfast=engine_config.fused_blkfast,
                     align=engine_config.fused_align,
+                    passgate=engine_config.fused_passgate,
                 )
             else:
                 out = fused.run_window_fused(
@@ -844,6 +845,7 @@ def simulation(
                     contig=engine_config.fused_dma_mode == "contig",
                     blkfast=engine_config.fused_blkfast,
                     align=engine_config.fused_align,
+                    passgate=engine_config.fused_passgate,
                 )
             if count_units:
                 diag = out[-1]

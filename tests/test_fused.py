@@ -565,6 +565,44 @@ def test_dma_mode_bit_identical():
     npt.assert_array_equal(s_c, s_r)
 
 
+def test_passgate_bit_identical():
+    """Gated re-passes (config.fused_passgate: rows + folds + reduce +
+    resolve all skipped per settled 128-lane block) must be bit-identical
+    to the whole-tile re-pass resolve, on a bouncy intra geometry —
+    impermeable and permeable (the permeable path exercises the sliced
+    ubuf/crs threefry rows in the gated resolve)."""
+    n_s, n_t = 200, 16
+    gradient = np.zeros((1, n_t, 3))
+    gradient[:, 1:-1, 0] = 1e-3
+    vertices, faces = meshes.icosphere(radius=5e-6, subdivisions=1)
+
+    def run(perm):
+        substrate = substrates.mesh(
+            vertices, faces, periodic=True, init_pos="intra",
+            n_sv=np.array([2, 2, 2]), quiet=True,
+            **({"perm_prob": 0.4} if perm else {}),
+        )
+        return simulations.simulation(
+            n_s, 2e-9, gradient, 2e-4, substrate, quiet=True, seed=9,
+            final_pos=True, exchange_stats=perm,
+        )
+
+    try:
+        config.use_fused = True
+        config.pallas_interpret = True
+        base = [run(False), run(True)]
+        config.fused_passgate = True
+        gated = [run(False), run(True)]
+    finally:
+        config.fused_passgate = False
+        config.use_fused = None
+        config.pallas_interpret = False
+    for b, g in zip(base, gated):
+        for xb, xg in zip(jax.tree_util.tree_leaves(b),
+                          jax.tree_util.tree_leaves(g)):
+            npt.assert_array_equal(np.asarray(xb), np.asarray(xg))
+
+
 def test_counting_kernel_diagnostics():
     """The counting kernel variant (config.fused_count_units) reports
     [folded units, gated block-passes, live-lane-weighted units] in
