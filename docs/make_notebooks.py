@@ -8,9 +8,16 @@ content in notebook form so reference users keep the form factor they know:
 
     python docs/make_notebooks.py   # writes docs/notebooks/*.ipynb
 
-The notebooks are committed unexecuted (no baked outputs); every cell runs
-on CPU in minutes at the default reduced sizes, or at the reference's full
-sizes by flipping FULL = True in the first code cell (use a TPU).
+The committed notebooks carry executed outputs (plots included), matching
+the reference's baked form. To refresh them after regenerating, run every
+cell on CPU (minutes at the default reduced sizes):
+
+    PYTHONPATH=. JAX_PLATFORMS=cpu jupyter nbconvert --to notebook \
+        --execute --inplace docs/notebooks/*.ipynb
+
+or at the reference's full sizes by flipping FULL = True in the first code
+cell (use a TPU). NOTE: regenerating overwrites the baked outputs —
+re-execute before committing.
 """
 
 import pathlib
